@@ -1,0 +1,19 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Sharded code paths (mesh/shard_map) are exercised in CI without TPU hardware
+(SURVEY.md section 4, "TPU-build implication"). Note: the environment may
+import jax at interpreter startup (sitecustomize), so env vars are too late --
+``jax.config.update`` is the reliable switch.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
