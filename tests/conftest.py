@@ -17,3 +17,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+# persistent compilation cache: the unrolled limb kernels are compile-heavy,
+# and identical across test processes
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_zktpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

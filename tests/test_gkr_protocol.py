@@ -1,0 +1,75 @@
+"""End-to-end GKR protocol tests (reference gkr_protocol.rs test module)."""
+
+import pytest
+
+from zktpu.field.spec import BLS12_381_FR
+from zktpu.field import jnp_backend as fb
+from zktpu.poly.multilinear import MultilinearPoly
+from zktpu.poly.univariate import UnivariatePoly
+from zktpu.gkr.circuit import Circuit, Layer, ADD, MUL
+from zktpu.gkr import protocol as gkr
+from zktpu.pcs.kzg import KZG
+from zktpu.curve import bls12_381 as hc
+
+FR = BLS12_381_FR
+ctx = fb.get_ctx(FR)
+
+
+def test_get_fbc_poly():
+    """gkr_protocol.rs:422-452: single add gate, r=5, w=[2,12]."""
+    p = FR.modulus
+    layer = Layer([ADD])
+    w = MultilinearPoly.from_ints(ctx, [2, 12])
+    fbc = gkr.get_fbc_poly(ctx, 5, layer, w, w)
+    got = [[f.to_ints() for f in pr.factors] for pr in fbc.products]
+    add_i_r = [0, (-4) % p, 0, 0]
+    assert got[0] == [add_i_r, [4, 14, 14, 24]]
+    assert got[1] == [[0, 0, 0, 0], [4, 24, 24, 144]]
+
+
+def test_prove_verify_roundtrip():
+    """gkr_protocol.rs:473-506: 3-layer circuit over BLS12-381 Fr."""
+    structure = [[ADD, ADD, ADD, ADD], [MUL, ADD], [ADD]]
+    circuit = Circuit(ctx, structure)
+    inputs = [5, 2, 2, 4, 10, 0, 3, 3]
+    proof = gkr.prove(circuit, inputs, taus=[11, 7, 13])
+    assert gkr.verify(proof, circuit)
+
+
+def test_verify_rejects_invalid_proof():
+    """gkr_protocol.rs:508-570: dummy proof must fail."""
+    structure = [[MUL, MUL], [ADD]]
+    circuit = Circuit(ctx, structure)
+    dummy = UnivariatePoly.interpolate(FR, [(0, 10), (1, 5)])
+    kzg = KZG.setup(1, [1])
+    input_proof = gkr.KzgProof(
+        kzg_setup=kzg,
+        commitment=hc.G1_GEN,
+        proof=[[hc.G1_GEN], [hc.G1_GEN]],
+        opened_evals=[1, 2],
+    )
+    invalid = gkr.GkrProof(
+        output_poly=MultilinearPoly.from_ints(ctx, [10, 0]),
+        proof_polynomials=[[dummy, dummy], [dummy, dummy, dummy, dummy]],
+        claimed_evaluations=[(10, 5)],
+        input_proof=input_proof,
+    )
+    assert not gkr.verify(invalid, circuit)
+
+
+def test_verify_rejects_tampered_claimed_evaluation():
+    structure = [[ADD, ADD], [MUL]]
+    circuit = Circuit(ctx, structure)
+    proof = gkr.prove(circuit, [1, 2, 3, 4], taus=[3, 9])
+    assert gkr.verify(proof, circuit)
+    o1, o2 = proof.claimed_evaluations[0]
+    proof.claimed_evaluations[0] = ((o1 + 1) % FR.modulus, o2)
+    assert not gkr.verify(proof, circuit)
+
+
+def test_single_layer_circuit():
+    """Smallest circuit: one gate; output poly padded to 2 entries."""
+    circuit = Circuit(ctx, [[MUL]])
+    proof = gkr.prove(circuit, [3, 4], taus=[5])
+    assert proof.output_poly.to_ints() == [12, 0]
+    assert gkr.verify(proof, circuit)

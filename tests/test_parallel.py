@@ -1,0 +1,89 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+The sharded paths must be *byte-identical* to their dense counterparts --
+sharding is an execution detail, never a semantic one.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zktpu.field.spec import BN254_FQ, BN254_FR, BLS12_381_FR
+from zktpu.field import jnp_backend as fb
+from zktpu.poly.multilinear import MultilinearPoly
+from zktpu.sumcheck import protocol as sc
+from zktpu.parallel import mesh as pm
+from zktpu.ntt.ntt import ntt
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return pm.make_mesh(8)
+
+
+def test_sharded_fold_and_sums_match_dense(mesh):
+    ctx = fb.get_ctx(BN254_FQ)
+    rng = np.random.default_rng(0)
+    vals = [int(v) for v in rng.integers(0, 1 << 40, size=256)]
+    poly = MultilinearPoly.from_ints(ctx, vals)
+
+    sharded = pm.ShardedMLE.shard(poly, mesh)
+    dense_sums = sc._to_ints(ctx, poly.halves_sums())
+    shard_sums = sc._to_ints(ctx, sharded.halves_sums())
+    assert dense_sums == shard_sums
+
+    r = poly.encode_scalar(987654321)
+    dense_folded = poly.partial_evaluate(0, r)
+    shard_folded = sharded.fold(r).gather()
+    assert dense_folded.to_ints() == shard_folded.to_ints()
+
+
+def test_sharded_sumcheck_prove_matches_dense(mesh):
+    ctx = fb.get_ctx(BN254_FQ)
+    rng = np.random.default_rng(1)
+    vals = [int(v) for v in rng.integers(0, 1 << 40, size=128)]
+    poly = MultilinearPoly.from_ints(ctx, vals)
+
+    dense_proof = sc.prove(poly)
+    sharded_proof = pm.sumcheck_prove_sharded(poly, mesh)
+    assert sharded_proof.claimed_sum == dense_proof.claimed_sum
+    assert sharded_proof.proof_polynomials == dense_proof.proof_polynomials
+    assert sc.verify(poly, sharded_proof)
+
+
+def test_sharded_sumcheck_small_table(mesh):
+    """Table no bigger than the mesh: every round runs on the gathered path."""
+    ctx = fb.get_ctx(BN254_FQ)
+    poly = MultilinearPoly.from_ints(ctx, [3, 1, 4, 1, 5, 9, 2, 6])
+    dense_proof = sc.prove(poly)
+    sharded_proof = pm.sumcheck_prove_sharded(poly, mesh)
+    assert sharded_proof.proof_polynomials == dense_proof.proof_polynomials
+
+
+def test_sharded_ntt_matches_dense(mesh):
+    ctx = fb.get_ctx(BN254_FR)
+    rng = np.random.default_rng(2)
+    vals = [int(v) for v in rng.integers(0, 1 << 40, size=64)]
+    table = fb.to_mont(ctx, jnp.asarray(ctx.pack(vals)))
+
+    dense = np.asarray(fb.from_mont(ctx, ntt(ctx, table)))
+    sharded = np.asarray(fb.from_mont(ctx, pm.ntt_sharded(ctx, mesh, table)))
+    assert (dense == sharded).all()
+
+    inv_dense = np.asarray(fb.from_mont(ctx, ntt(ctx, table, inverse=True)))
+    inv_sharded = np.asarray(
+        fb.from_mont(ctx, pm.ntt_sharded(ctx, mesh, table, inverse=True))
+    )
+    assert (inv_dense == inv_sharded).all()
+
+
+def test_sharded_point_tree_sum(mesh):
+    from zktpu.curve import bls12_381 as hc
+    from zktpu.curve import device as dc
+
+    pts_host = [hc.multiply(hc.G1_GEN, k) for k in range(1, 17)]
+    acc = pm.point_tree_sum_sharded(mesh, dc.pack_points(pts_host))
+    got = dc.unpack_points(tuple(t[None] for t in acc))[0]
+    assert got == hc.multiply(hc.G1_GEN, sum(range(1, 17)))

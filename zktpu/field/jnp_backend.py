@@ -69,26 +69,41 @@ class FieldCtx:
     # -- host packing helpers ------------------------------------------------
 
     def pack(self, values) -> np.ndarray:
-        """Python ints (nested lists ok) -> canonical uint32 limb array."""
-        arr = np.asarray(
-            [[(int(v) % self.spec.modulus >> (LIMB_BITS * i)) & LIMB_MASK
-              for i in range(self.num_limbs)]
-             for v in np.asarray(values, dtype=object).reshape(-1)],
-            dtype=np.uint32,
-        )
+        """Python ints (nested lists ok) -> canonical uint32 limb array.
+
+        Fast path: if every value already fits in uint64 (common for test
+        vectors and structured inputs) the limb split is pure numpy; otherwise
+        each value is serialized to little-endian bytes and viewed as uint16
+        limbs -- both avoid the O(n * num_limbs) Python loop."""
         shape = np.shape(values) + (self.num_limbs,)
+        flat = np.asarray(values, dtype=object).reshape(-1)
+        try:
+            small = flat.astype(np.uint64)
+            if flat.size and (small.astype(object) != flat).any():
+                raise OverflowError
+            arr = np.zeros((flat.size, self.num_limbs), dtype=np.uint32)
+            for i in range(min(4, self.num_limbs)):
+                arr[:, i] = ((small >> np.uint64(LIMB_BITS * i)) & np.uint64(LIMB_MASK)).astype(
+                    np.uint32
+                )
+            return arr.reshape(shape)
+        except (OverflowError, TypeError, ValueError):
+            pass
+        p = self.spec.modulus
+        nbytes = 2 * self.num_limbs
+        blob = b"".join((int(v) % p).to_bytes(nbytes, "little") for v in flat)
+        arr = np.frombuffer(blob, dtype="<u2").astype(np.uint32)
         return arr.reshape(shape)
 
     def unpack(self, limbs) -> np.ndarray:
         """Canonical limb array -> object array of Python ints."""
         limbs = np.asarray(limbs)
-        flat = limbs.reshape(-1, self.num_limbs)
+        flat = limbs.reshape(-1, self.num_limbs).astype("<u2")
+        blob = flat.tobytes()
+        nbytes = 2 * self.num_limbs
         out = np.empty(flat.shape[0], dtype=object)
         for k in range(flat.shape[0]):
-            acc = 0
-            for i in range(self.num_limbs - 1, -1, -1):
-                acc = (acc << LIMB_BITS) | int(flat[k, i])
-            out[k] = acc
+            out[k] = int.from_bytes(blob[k * nbytes : (k + 1) * nbytes], "little")
         return out.reshape(limbs.shape[:-1])
 
     def canonical_to_bytes(self, limbs) -> bytes:
@@ -209,6 +224,13 @@ def neg(ctx: FieldCtx, a):
     return jnp.where(is_zero_mask[..., None], a, diff)
 
 
+#: widest field that still unrolls its CIOS loop at trace time. Narrow (Fr)
+#: fields unroll for maximum fusion (the sumcheck/NTT hot path); wide (Fq
+#: curve-coordinate) fields loop via fori so composite point kernels stay
+#: compile-tractable (a Pallas kernel owns their speed-of-light path).
+UNROLL_LIMB_LIMIT = 16
+
+
 def _mont_mul_impl(ctx: FieldCtx, a, b):
     """Delayed-carry CIOS. a, b: clean (..., N) limb arrays (broadcastable).
 
@@ -220,6 +242,7 @@ def _mont_mul_impl(ctx: FieldCtx, a, b):
     a = jnp.asarray(a, _U32)
     b = jnp.asarray(b, _U32)
     shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    a = jnp.broadcast_to(a, shape + (n,))
     p_arr = jnp.asarray(ctx.p_arr)
 
     def pad_hi(v):  # (..., n) -> (..., n+1) with a one-limb up-shift
@@ -228,10 +251,8 @@ def _mont_mul_impl(ctx: FieldCtx, a, b):
     def pad_lo(v):  # (..., n) -> (..., n+1)
         return jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(0, 1)])
 
-    # t has n+1 lanes: lane n catches the top product halves / shift carries
-    t = jnp.zeros(shape + (n + 1,), dtype=_U32)
-    for i in range(n):
-        prod = a[..., i : i + 1] * b  # (..., n), exact in uint32
+    def iteration(t, a_i):
+        prod = a_i[..., None] * b  # (..., n), exact in uint32
         t = t + pad_lo(prod & _MASK) + pad_hi(prod >> LIMB_BITS)
 
         m = ((t[..., 0] & _MASK) * ctx.n0p) & _MASK
@@ -240,9 +261,24 @@ def _mont_mul_impl(ctx: FieldCtx, a, b):
 
         # divide by 2^16: lane 0 is now 0 mod 2^16; push its carry into lane 1
         carry0 = t[..., 0] >> LIMB_BITS
-        t = jnp.concatenate(
-            [t[..., 1:2] + carry0[..., None], t[..., 2:], jnp.zeros(shape + (1,), _U32)],
+        return jnp.concatenate(
+            [t[..., 1:2] + carry0[..., None], t[..., 2:],
+             jnp.zeros(t.shape[:-1] + (1,), _U32)],
             axis=-1,
+        )
+
+    # t has n+1 lanes: lane n catches the top product halves / shift carries
+    t = jnp.zeros(shape + (n + 1,), dtype=_U32)
+    if n <= UNROLL_LIMB_LIMIT:
+        for i in range(n):
+            t = iteration(t, a[..., i])
+    else:
+        t = jax.lax.fori_loop(
+            0, n,
+            lambda i, t: iteration(
+                t, jax.lax.dynamic_index_in_dim(a, i, axis=-1, keepdims=False)
+            ),
+            t,
         )
 
     # lanes < ~n*2^18; ripple down to clean limbs + overflow lane

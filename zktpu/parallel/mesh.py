@@ -1,0 +1,271 @@
+"""Multi-chip sharding for evaluation tables, sumcheck, MSM, and NTT.
+
+The reference is strictly single-threaded (SURVEY.md section 2: no rayon, no
+MPI, no GPU); this module supplies the missing axis of scale, TPU-style:
+``jax.sharding.Mesh`` + sharding-annotated jit so XLA/GSPMD compiles the
+collectives onto ICI (SURVEY.md section 5.8).
+
+Layout contract for sharded MLEs
+--------------------------------
+A 2^n-entry table is stored as ``(rows, D, N)`` with the D axis sharded over
+the mesh: flat hypercube index = row * D + shard_lane, i.e. each device owns
+the entries whose *minor* log2(D) index bits equal its lane. Because sumcheck
+always folds variable 0 (the MSB -- reference sum_check_protocol.rs:45), every
+fold round is a purely local lerp over the rows axis; only the two per-round
+half-sums cross chips (a log-D reduction GSPMD inserts automatically). The
+last log2(D) rounds run replicated on a gathered (tiny) table.
+
+MSM sharding: points/scalars are split on the batch axis; the 255-step ladder
+is entirely local, and only the final log-depth point-tree crosses chips.
+
+NTT sharding: four-step decomposition N = N1*N2 -- local row NTTs, twiddle,
+transpose (the all-to-all), local row NTTs -- so only log2(D) of the log2(N)
+stages communicate.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..field import jnp_backend as fb
+from ..field.jnp_backend import FieldCtx
+from ..poly.multilinear import MultilinearPoly
+
+AXIS = "shard"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def table_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(None, AXIS, None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# ----------------------------------------------------------------------
+# sharded MLE kernels
+# ----------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=0)
+def _sharded_fold(ctx: FieldCtx, table, value):
+    """Fold variable 0 of a (rows, D, N) minor-sharded table: local lerp."""
+    rows, d, n = table.shape
+    shaped = table.reshape(2, rows // 2, d, n)
+    a, b = shaped[0], shaped[1]
+    return fb.add(ctx, a, fb.mont_mul(ctx, value, fb.sub(ctx, b, a)))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _sharded_halves_sums(ctx: FieldCtx, table):
+    """[sum of first half, sum of second half] of the flat hypercube.
+
+    Row split is the flat-index split (idx = row*D + lane); the inner
+    reductions over rows are local, the final over D is GSPMD's psum.
+    """
+    rows = table.shape[0]
+    lo = fb.field_sum(ctx, table[: rows // 2].reshape(-1, table.shape[-1]), axis=0)
+    hi = fb.field_sum(ctx, table[rows // 2 :].reshape(-1, table.shape[-1]), axis=0)
+    return jnp.stack([lo, hi])
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _sharded_total_sum(ctx: FieldCtx, table):
+    return fb.field_sum(ctx, table.reshape(-1, table.shape[-1]), axis=0)
+
+
+class ShardedMLE:
+    """A 2^n-entry Montgomery table sharded on its minor index bits."""
+
+    def __init__(self, ctx: FieldCtx, table, mesh: Mesh):
+        self.ctx = ctx
+        self.mesh = mesh
+        self.table = table  # (rows, D, N), D sharded
+        self.shards = table.shape[1]
+
+    @classmethod
+    def shard(cls, poly: MultilinearPoly, mesh: Mesh) -> "ShardedMLE":
+        d = mesh.devices.size
+        size = poly.table.shape[0]
+        if size % d:
+            raise ValueError("table smaller than mesh")
+        # flat idx = row * D + lane
+        reshaped = poly.table.reshape(size // d, d, poly.ctx.num_limbs)
+        placed = jax.device_put(reshaped, table_sharding(mesh))
+        return cls(poly.ctx, placed, mesh)
+
+    @property
+    def num_entries(self) -> int:
+        return self.table.shape[0] * self.table.shape[1]
+
+    def fold(self, value_mont) -> "ShardedMLE":
+        return ShardedMLE(self.ctx, _sharded_fold(self.ctx, self.table, value_mont), self.mesh)
+
+    def halves_sums(self):
+        return _sharded_halves_sums(self.ctx, self.table)
+
+    def total_sum(self):
+        return _sharded_total_sum(self.ctx, self.table)
+
+    def gather(self) -> MultilinearPoly:
+        """Replicate and restore the flat (2^k, N) layout."""
+        flat = jnp.reshape(
+            jax.device_put(self.table, replicated(self.mesh)),
+            (-1, self.ctx.num_limbs),
+        )
+        return MultilinearPoly(self.ctx, flat)
+
+
+# ----------------------------------------------------------------------
+# sharded sumcheck prover (byte-identical to the dense prover)
+# ----------------------------------------------------------------------
+
+def sumcheck_prove_sharded(poly: MultilinearPoly, mesh: Mesh):
+    """Multi-chip plain-sumcheck prover; transcript bytes identical to
+    ``zktpu.sumcheck.protocol.prove``."""
+    from ..sumcheck import protocol as sc
+    from ..transcript import Transcript
+
+    ctx = poly.ctx
+    transcript = Transcript(ctx.spec)
+    transcript.append(poly.to_transcript_bytes())
+
+    sharded = ShardedMLE.shard(poly, mesh)
+    claimed_sum = sc._to_int(ctx, sharded.total_sum())
+    transcript.append_field_elements([claimed_sum])
+
+    proof_polynomials = []
+    num_rounds = poly.num_vars
+    current: ShardedMLE | None = sharded
+    dense_table = None
+
+    for _ in range(num_rounds):
+        if current is not None and current.table.shape[0] > 1:
+            halves = sc._to_ints(ctx, current.halves_sums())
+        else:
+            if dense_table is None:
+                dense_table = current.gather().table
+                current = None
+            half = dense_table.shape[0] // 2
+            halves = sc._to_ints(ctx, jnp.stack([
+                fb.field_sum(ctx, dense_table[:half], axis=0),
+                fb.field_sum(ctx, dense_table[half:], axis=0),
+            ]))
+        transcript.append_field_elements(halves)
+        proof_polynomials.append(halves)
+
+        r = transcript.get_random_challenge()
+        r_mont = sc._encode(ctx, r)
+        if current is not None:
+            current = current.fold(r_mont)
+        else:
+            dense_table = sc.fold_tables_kernel(ctx, dense_table, r_mont)
+
+    return sc.Proof(proof_polynomials, claimed_sum)
+
+
+# ----------------------------------------------------------------------
+# sharded MSM
+# ----------------------------------------------------------------------
+
+def msm_sharded(mesh: Mesh, points, scalars):
+    """MSM with points/scalars sharded on the batch axis: local ladders +
+    local partial tree, then a log(D) cross-chip point reduction."""
+    from ..curve import device as dc
+
+    pts = tuple(
+        jax.device_put(t, NamedSharding(mesh, P(AXIS, None))) for t in points
+    )
+    sc = jax.device_put(scalars, NamedSharding(mesh, P(AXIS, None)))
+
+    @jax.jit
+    def run(pts, sc):
+        return dc.msm(pts, sc)
+
+    return run(pts, sc)
+
+
+def point_tree_sum_sharded(mesh: Mesh, points):
+    """Cross-chip point reduction only (the communication pattern of the
+    sharded MSM without its 255-step ladder) -- used by fast dry runs."""
+    from ..curve import device as dc
+
+    pts = tuple(
+        jax.device_put(t, NamedSharding(mesh, P(AXIS, None))) for t in points
+    )
+
+    @jax.jit
+    def run(pts):
+        return dc.tree_sum_points(pts)
+
+    return run(pts)
+
+
+# ----------------------------------------------------------------------
+# sharded NTT (four-step)
+# ----------------------------------------------------------------------
+
+def ntt_sharded(ctx: FieldCtx, mesh: Mesh, table, inverse: bool = False):
+    """Four-step NTT of a (2^k, N) Montgomery table across the mesh.
+
+    Only the two transposes communicate (GSPMD all-to-all); both butterfly
+    phases run on local rows. Result is in natural order, identical values to
+    ``zktpu.ntt.ntt``.
+    """
+    from ..ntt.ntt import _ntt_kernel, _twiddles
+
+    spec = ctx.spec
+    n = table.shape[0]
+    log_n = n.bit_length() - 1
+    log_n1 = log_n // 2
+    n1 = 1 << log_n1
+    n2 = n // n1
+
+    omega = spec.root_of_unity(n)
+    if inverse:
+        omega = pow(omega, -1, spec.modulus)
+    # twiddle matrix w^(m1*k2), shape (n1, n2)
+    tw_host = np.empty((n1, n2), dtype=object)
+    for m1 in range(n1):
+        w_m1 = pow(omega, m1, spec.modulus)
+        acc = 1
+        for k2 in range(n2):
+            tw_host[m1, k2] = acc
+            acc = acc * w_m1 % spec.modulus
+    tw = fb.to_mont(ctx, jnp.asarray(ctx.pack(tw_host)))
+
+    row_shard = NamedSharding(mesh, P(AXIS, None, None))
+
+    @functools.partial(jax.jit, static_argnums=())
+    def run(x, tw):
+        # A[m1, m2] = x[n1*m2 + m1]
+        a = jnp.transpose(x.reshape(n2, n1, ctx.num_limbs), (1, 0, 2))
+        a = jax.lax.with_sharding_constraint(a, row_shard)
+        # local row DFTs over m2 with root w^n1
+        b = jax.vmap(lambda row: _ntt_kernel(ctx, row, n2.bit_length() - 1, inverse))(a)
+        c = fb.mont_mul(ctx, b, tw)
+        # transpose (the all-to-all), then local row DFTs over m1
+        ct = jnp.transpose(c, (1, 0, 2))
+        ct = jax.lax.with_sharding_constraint(ct, row_shard)
+        d = jax.vmap(lambda row: _ntt_kernel(ctx, row, n1.bit_length() - 1, inverse))(ct)
+        # D[k2, k1] -> X[n2*k1 + k2]
+        out = jnp.transpose(d, (1, 0, 2)).reshape(n, ctx.num_limbs)
+        return out
+
+    out = run(jax.device_put(table, replicated(mesh)), tw)
+    if inverse:
+        n_inv = pow(n, -1, spec.modulus)
+        out = fb.mont_mul(ctx, out, fb.to_mont(ctx, jnp.asarray(ctx.pack(n_inv))))
+    return out

@@ -27,6 +27,7 @@ import numpy as np
 
 from ..field import jnp_backend as fb
 from ..field.jnp_backend import FieldCtx
+from ..utils import tracker
 
 
 # ----------------------------------------------------------------------
@@ -93,11 +94,12 @@ def halves_sum_kernel(ctx: FieldCtx, table):
 class MultilinearPoly:
     """Evaluation-table MLE. ``table``: uint32 (2^n, N), Montgomery domain."""
 
-    __slots__ = ("ctx", "table", "num_vars")
+    __slots__ = ("ctx", "table", "num_vars", "_canonical_cache")
 
     def __init__(self, ctx: FieldCtx, table, num_vars: int | None = None):
         self.ctx = ctx
         self.table = table
+        self._canonical_cache = None
         n_entries = table.shape[0]
         nv = n_entries.bit_length() - 1
         if (1 << nv) != n_entries:
@@ -111,7 +113,11 @@ class MultilinearPoly:
     @classmethod
     def from_ints(cls, ctx: FieldCtx, values) -> "MultilinearPoly":
         canonical = ctx.pack(list(values))
-        return cls(ctx, fb.to_mont(ctx, jnp.asarray(canonical)))
+        poly = cls(ctx, fb.to_mont(ctx, jnp.asarray(canonical)))
+        # host-constructed tables keep their canonical limbs so transcript
+        # absorption never pulls the table back across the device boundary
+        poly._canonical_cache = canonical
+        return poly
 
     def to_ints(self) -> list[int]:
         canonical = np.asarray(fb.from_mont(self.ctx, self.table))
@@ -119,6 +125,8 @@ class MultilinearPoly:
 
     def canonical_table(self) -> np.ndarray:
         """Canonical (non-Montgomery) limbs on host, for serialization."""
+        if self._canonical_cache is not None:
+            return self._canonical_cache
         return np.asarray(fb.from_mont(self.ctx, self.table))
 
     def to_transcript_bytes(self) -> bytes:
@@ -129,6 +137,10 @@ class MultilinearPoly:
     def partial_evaluate(self, bit: int, value_mont) -> "MultilinearPoly":
         if self.num_vars == 0:
             raise ValueError("cannot fold a constant")
+        half = self.table.shape[0] // 2
+        tracker.count("mul", half)
+        tracker.count("add", half)
+        tracker.count("sub", half)
         return MultilinearPoly(
             self.ctx, fold_kernel(self.ctx, self.table, bit, jnp.asarray(value_mont))
         )
@@ -152,9 +164,11 @@ class MultilinearPoly:
         return int(self.ctx.unpack(np.asarray(out)))
 
     def scale(self, value_mont) -> "MultilinearPoly":
+        tracker.count("mul", self.table.shape[0])
         return MultilinearPoly(self.ctx, scale_kernel(self.ctx, self.table, value_mont))
 
     def sum_mont(self):
+        tracker.count("add", max(0, self.table.shape[0] - 1))
         return sum_kernel(self.ctx, self.table)
 
     def halves_sums(self):
@@ -169,6 +183,7 @@ class MultilinearPoly:
     def _binop(self, other, op):
         if other.table.shape != self.table.shape:
             raise ValueError("shape mismatch")
+        tracker.count("mul" if op == "mul" else "add", self.table.shape[0])
         return MultilinearPoly(
             self.ctx, elementwise_kernel(self.ctx, self.table, other.table, op)
         )
@@ -185,4 +200,6 @@ class MultilinearPoly:
     @classmethod
     def tensor_add_mul(cls, ctx, a: "MultilinearPoly", b: "MultilinearPoly", op: str):
         """(b,c)-tensor table op(a_i, b_j) of size |A|*|B| (reference :99-110)."""
+        tracker.count("mul" if op == "mul" else "add",
+                      a.table.shape[0] * b.table.shape[0])
         return cls(ctx, tensor_kernel(ctx, a.table, b.table, op))

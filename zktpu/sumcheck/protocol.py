@@ -30,6 +30,7 @@ from ..poly.composed import ProductPoly, SumPoly
 from ..poly.multilinear import MultilinearPoly
 from ..poly.univariate import UnivariatePoly
 from ..transcript import Transcript
+from ..utils import tracker
 
 
 @dataclasses.dataclass
@@ -142,6 +143,7 @@ def prove(poly: MultilinearPoly) -> Proof:
     transcript = Transcript(ctx.spec)
     transcript.append(poly.to_transcript_bytes())
 
+    tracker.count("add", max(0, poly.table.shape[0] - 1))
     claimed_sum = _to_int(ctx, poly.sum_mont())
     transcript.append_field_elements([claimed_sum])
 
@@ -200,6 +202,11 @@ def gkr_prove(
     random_challenges = []
 
     for _ in range(num_rounds):
+        P_, F_, size, _ = tables.shape
+        half = size // 2
+        # lerp muls for t >= 2, product muls, adds for sums + lerps
+        tracker.count("mul", (degree - 1) * P_ * F_ * half + (degree + 1) * (F_ - 1) * P_ * half)
+        tracker.count("add", (degree + 1) * P_ * half)
         ys = _to_ints(ctx, gkr_round_kernel(ctx, tables, degree))
         round_poly = UnivariatePoly.interpolate(
             spec, [(t, y) for t, y in enumerate(ys)]
@@ -209,6 +216,7 @@ def gkr_prove(
 
         r = transcript.get_random_challenge()
         random_challenges.append(r)
+        tracker.count("mul", tables.size // tables.shape[-1] // 2)
         tables = fold_tables_kernel(ctx, tables, _encode(ctx, r))
 
     return GkrSumcheckProof(proof_polynomials, claimed_sum, random_challenges)
