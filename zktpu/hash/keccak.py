@@ -112,7 +112,7 @@ def _load_native():
         src = os.path.join(_HERE, "_keccak.c")
         try:
             subprocess.run(
-                ["gcc", "-O3", "-shared", "-fPIC", "-o", _LIB_PATH, src],
+                ["gcc", "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC", "-o", _LIB_PATH, src],
                 check=True,
                 capture_output=True,
             )
@@ -127,6 +127,28 @@ def _load_native():
             ctypes.c_size_t,
             ctypes.c_char_p,
         ]
+        try:
+            lib.keccak_absorb_state.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_size_t,
+                ctypes.c_char_p,
+            ]
+            lib.keccak_absorb_into.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_char_p,
+                ctypes.c_size_t,
+            ]
+            lib.keccak256_resume.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_char_p,
+                ctypes.c_size_t,
+                ctypes.c_char_p,
+            ]
+        except AttributeError:  # stale .so without the symbols
+            import os as _os
+
+            _os.remove(_LIB_PATH)
+            return _load_native()
         _lib = lib
         return lib
     except OSError:
@@ -155,3 +177,111 @@ def keccak256_batch(messages_blob: bytes, msg_len: int) -> bytes:
     return b"".join(
         _keccak256_py(messages_blob[i * msg_len : (i + 1) * msg_len]) for i in range(n)
     )
+
+
+def sponge_state_after(data: bytes):
+    """Sponge state after absorbing the full 136-byte blocks of ``data``.
+
+    Returns ``(state, tail)``: ``state`` is a (25, 2) uint32 little-endian
+    lane-pair array (the layout of zktpu.hash.keccak_device) and ``tail`` the
+    unabsorbed ``len(data) % 136`` bytes. Hands a partially-absorbed
+    transcript to the on-device Fiat-Shamir continuation.
+    """
+    import numpy as np
+
+    n_tail = len(data) % _RATE
+    body, tail = data[: len(data) - n_tail], data[len(data) - n_tail :]
+    lib = _load_native()
+    if lib is not None:
+        out = ctypes.create_string_buffer(200)
+        lib.keccak_absorb_state(bytes(body), len(body), out)
+        state_bytes = out.raw
+    else:
+        lanes = [[0] * 5 for _ in range(5)]
+        for off in range(0, len(body), _RATE):
+            for i in range(_RATE // 8):
+                w = int.from_bytes(body[off + 8 * i : off + 8 * i + 8], "little")
+                lanes[i % 5][i // 5] ^= w
+            lanes = _keccak_f(lanes)
+        state_bytes = b"".join(
+            lanes[i % 5][i // 5].to_bytes(8, "little") for i in range(25)
+        )
+    state = np.frombuffer(state_bytes, dtype="<u4").reshape(25, 2).astype(np.uint32)
+    return state, tail
+
+
+class Sponge:
+    """Streaming Keccak-256 sponge (legacy padding): absorb incrementally,
+    squeeze without rehashing everything absorbed so far.
+
+    ``state`` is the 200-byte register after all full blocks; ``tail`` the
+    < 136 unabsorbed bytes. ``digest()`` does not mutate. Pure-Python
+    fallback mirrors the C path bit for bit.
+    """
+
+    __slots__ = ("_state", "_tail")
+
+    def __init__(self, state: bytes | None = None, tail: bytes = b""):
+        self._state = bytearray(state if state is not None else bytes(200))
+        self._tail = bytearray(tail)
+        if len(self._tail) >= _RATE:
+            self._absorb_full()
+
+    def copy(self) -> "Sponge":
+        return Sponge(bytes(self._state), bytes(self._tail))
+
+    def _absorb_full(self) -> None:
+        n_full = len(self._tail) // _RATE
+        if not n_full:
+            return
+        body = bytes(self._tail[: n_full * _RATE])
+        del self._tail[: n_full * _RATE]
+        lib = _load_native()
+        if lib is not None:
+            buf = ctypes.create_string_buffer(bytes(self._state), 200)
+            lib.keccak_absorb_into(buf, body, len(body))
+            self._state = bytearray(buf.raw[:200])
+            return
+        lanes = [
+            [
+                int.from_bytes(self._state[8 * (x + 5 * y) : 8 * (x + 5 * y) + 8], "little")
+                for y in range(5)
+            ]
+            for x in range(5)
+        ]
+        for off in range(0, len(body), _RATE):
+            for i in range(_RATE // 8):
+                w = int.from_bytes(body[off + 8 * i : off + 8 * i + 8], "little")
+                lanes[i % 5][i // 5] ^= w
+            lanes = _keccak_f(lanes)
+        self._state = bytearray(
+            b"".join(lanes[i % 5][i // 5].to_bytes(8, "little") for i in range(25))
+        )
+
+    def absorb(self, data: bytes) -> None:
+        self._tail += data
+        if len(self._tail) >= _RATE:
+            self._absorb_full()
+
+    def digest(self) -> bytes:
+        lib = _load_native()
+        if lib is not None:
+            out = ctypes.create_string_buffer(32)
+            lib.keccak256_resume(bytes(self._state), bytes(self._tail), len(self._tail), out)
+            return out.raw
+        probe = Sponge(bytes(self._state))
+        block = bytearray(bytes(self._tail).ljust(_RATE, b"\x00"))
+        block[len(self._tail)] ^= 0x01
+        block[_RATE - 1] ^= 0x80
+        probe._tail = bytearray(block)
+        probe._absorb_full()
+        return bytes(probe._state[:32])
+
+    def state_lanes(self):
+        """(25, 2) uint32 lane pairs + tail bytes, for the device handoff."""
+        import numpy as np
+
+        return (
+            np.frombuffer(bytes(self._state), dtype="<u4").reshape(25, 2).astype(np.uint32),
+            bytes(self._tail),
+        )

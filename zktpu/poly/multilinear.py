@@ -72,6 +72,27 @@ def elementwise_kernel(ctx: FieldCtx, a, b, op: str):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
+def evaluate_all_kernel(ctx: FieldCtx, table, values_mont):
+    """Full evaluation at a point: all num_vars folds in ONE program
+    (the verifier's final oracle check, sum_check_protocol.rs:81-83, and the
+    GKR w-evaluations). ``values_mont``: (num_vars, N) Montgomery limbs."""
+    from ..field import pallas_kernels as pk
+
+    num_vars = table.shape[0].bit_length() - 1
+    for k in range(num_vars):
+        if pk.pallas_available(table.shape[0]):
+            table = pk.fold_pallas(ctx, table, values_mont[k])
+        else:
+            half = table.shape[0] // 2
+            shaped = table.reshape(2, half, ctx.num_limbs)
+            a, b = shaped[0], shaped[1]
+            table = fb.add(
+                ctx, a, fb.mont_mul(ctx, values_mont[k], fb.sub(ctx, b, a))
+            )
+    return table[0]
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
 def scale_kernel(ctx: FieldCtx, table, value):
     return fb.mont_mul(ctx, table, value)
 
@@ -94,12 +115,15 @@ def halves_sum_kernel(ctx: FieldCtx, table):
 class MultilinearPoly:
     """Evaluation-table MLE. ``table``: uint32 (2^n, N), Montgomery domain."""
 
-    __slots__ = ("ctx", "table", "num_vars", "_canonical_cache")
+    __slots__ = ("ctx", "table", "num_vars", "_canonical_cache", "_bytes_cache",
+                 "_sponge_cache")
 
     def __init__(self, ctx: FieldCtx, table, num_vars: int | None = None):
         self.ctx = ctx
         self.table = table
         self._canonical_cache = None
+        self._bytes_cache = None
+        self._sponge_cache = None
         n_entries = table.shape[0]
         nv = n_entries.bit_length() - 1
         if (1 << nv) != n_entries:
@@ -130,7 +154,20 @@ class MultilinearPoly:
         return np.asarray(fb.from_mont(self.ctx, self.table))
 
     def to_transcript_bytes(self) -> bytes:
-        return self.ctx.canonical_to_bytes(self.canonical_table())
+        if self._bytes_cache is None:
+            self._bytes_cache = self.ctx.canonical_to_bytes(self.canonical_table())
+        return self._bytes_cache
+
+    def transcript_sponge(self):
+        """Keccak sponge pre-absorbed with this table's transcript bytes
+        (cached: prover and verifier share one pass over the table)."""
+        from ..hash.keccak import Sponge
+
+        if self._sponge_cache is None:
+            sp = Sponge()
+            sp.absorb(self.to_transcript_bytes())
+            self._sponge_cache = sp
+        return self._sponge_cache.copy()
 
     # -- core ops ----------------------------------------------------------
 
@@ -156,7 +193,12 @@ class MultilinearPoly:
         """Full evaluation at a point; returns (N,) Montgomery limbs."""
         if len(values_mont) != self.num_vars:
             raise ValueError("Invalid number of values")
-        return self.multi_partial_evaluate(values_mont).table[0]
+        if self.num_vars == 0:
+            return self.table[0]
+        tracker.count("mul", self.table.shape[0] - 1)
+        tracker.count("add", 2 * (self.table.shape[0] - 1))
+        stacked = jnp.stack([jnp.asarray(v) for v in values_mont])
+        return evaluate_all_kernel(self.ctx, self.table, stacked)
 
     def evaluate_int(self, values_int: list[int]) -> int:
         vals = [self.encode_scalar(v) for v in values_int]

@@ -140,8 +140,7 @@ def _sum_poly_tables(sum_poly: SumPoly):
 
 def prove(poly: MultilinearPoly) -> Proof:
     ctx = poly.ctx
-    transcript = Transcript(ctx.spec)
-    transcript.append(poly.to_transcript_bytes())
+    transcript = Transcript(ctx.spec, seed=poly.transcript_sponge())
 
     tracker.count("add", max(0, poly.table.shape[0] - 1))
     claimed_sum = _to_int(ctx, poly.sum_mont())
@@ -165,8 +164,7 @@ def prove(poly: MultilinearPoly) -> Proof:
 
 def verify(poly: MultilinearPoly, proof: Proof) -> bool:
     ctx = poly.ctx
-    transcript = Transcript(ctx.spec)
-    transcript.append(poly.to_transcript_bytes())
+    transcript = Transcript(ctx.spec, seed=poly.transcript_sponge())
     transcript.append_field_elements([proof.claimed_sum])
 
     p = ctx.spec.modulus

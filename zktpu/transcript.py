@@ -20,22 +20,37 @@ from __future__ import annotations
 
 from .field.spec import FieldSpec
 from .field.host import vec_to_bytes
-from .hash.keccak import keccak256
+from .hash.keccak import Sponge
 
 
 class Transcript:
-    def __init__(self, spec: FieldSpec):
+    """Streaming implementation: appends absorb into a Keccak sponge
+    incrementally (C backend), so a squeeze never rehashes earlier bytes.
+    Digest-equivalent to hashing the concatenated buffer, hence byte-exact
+    with the reference.
+
+    ``seed`` lets callers start from a pre-absorbed sponge (e.g. the cached
+    state of a large evaluation table, MultilinearPoly.transcript_sponge) --
+    pure memoization, identical challenge stream.
+    """
+
+    def __init__(self, spec: FieldSpec, seed: Sponge | None = None):
         self.spec = spec
-        self._buf = bytearray()
+        self._sponge = seed.copy() if seed is not None else Sponge()
 
     def append(self, preimage: bytes) -> None:
-        self._buf += preimage
+        self._sponge.absorb(preimage)
 
     def append_field_elements(self, values) -> None:
         """append(fq_vec_to_bytes(values)) -- the common call pattern."""
         self.append(vec_to_bytes(self.spec, values))
 
     def get_random_challenge(self) -> int:
-        digest = keccak256(bytes(self._buf))
-        self._buf = bytearray(digest)
+        digest = self._sponge.digest()
+        self._sponge = Sponge()
+        self._sponge.absorb(digest)
         return self.spec.from_le_bytes_mod_order(digest)
+
+    def sponge(self) -> Sponge:
+        """Snapshot of the current sponge (for the on-device continuation)."""
+        return self._sponge.copy()
