@@ -130,6 +130,7 @@ def bench_ntt(n_vars: int = 20):
 def bench_msm(n_points_log: int = 12):
     from zktpu.curve import bls12_381 as hc
     from zktpu.curve import device as dc
+    from zktpu.msm import msm_bitsplit
 
     n = 1 << n_points_log
     rng = np.random.default_rng(0)
@@ -137,16 +138,17 @@ def bench_msm(n_points_log: int = 12):
     ks = [int(k) for k in rng.integers(1, 1 << 20, size=min(n, 64))]
     base_pts = [hc.multiply(hc.G1_GEN, k) for k in ks]
     pts_host = [base_pts[i % len(base_pts)] for i in range(n)]
-    scalars = [int(s) for s in rng.integers(1, hc.R_ORDER, size=n, dtype=np.uint64)]
+    scalars = [int(a) * int(b) % hc.R_ORDER or 1
+               for a, b in rng.integers(1, 1 << 62, size=(n, 2))]
 
     pts = dc.pack_points(pts_host)
     sc = dc.pack_scalars(scalars)
-    jax.device_get(dc.msm(pts, sc)[0])  # compile + settle
+    jax.device_get(msm_bitsplit(pts, sc)[0])  # compile + settle
     t0 = time.time()
-    out = dc.msm(pts, sc)
+    out = msm_bitsplit(pts, sc)
     jax.device_get(out[0])  # forced sync
     dt = time.time() - t0
-    log(f"  MSM 2^{n_points_log} (ladder): {dt:.2f} s -> {n/dt:.0f} pts/s")
+    log(f"  MSM 2^{n_points_log} (bit-split): {dt:.2f} s -> {n/dt:.0f} pts/s")
     return n / dt
 
 

@@ -1,0 +1,56 @@
+"""MSM strategies vs the host curve oracle.
+
+bit_split and the fixed-base comb must agree with naive host scalar-mul/add
+(zktpu/curve/bls12_381.py, itself pinned to known BLS12-381 vectors).
+"""
+
+import numpy as np
+import pytest
+
+from zktpu.curve import bls12_381 as hc
+from zktpu.curve import device as dc
+from zktpu.msm import msm_bitsplit, generator_comb_mul
+from zktpu.msm.bit_split import msm_bitsplit_host
+
+
+@pytest.fixture(scope="module")
+def sample():
+    rng = np.random.default_rng(11)
+    n = 8
+    ks = [int(k) for k in rng.integers(1, 1 << 40, size=n)]
+    pts = [hc.multiply(hc.G1_GEN, k) for k in ks]
+    scalars = [int(a) * int(b) % hc.R_ORDER for a, b in rng.integers(1, 1 << 62, size=(n, 2))]
+    return pts, scalars
+
+
+def test_bitsplit_matches_host(sample):
+    pts, scalars = sample
+    expect = None
+    for p, s in zip(pts, scalars):
+        t = hc.multiply(p, s)
+        expect = t if expect is None else hc.add(expect, t)
+    assert msm_bitsplit_host(pts, scalars) == expect
+
+
+def test_bitsplit_edge_cases():
+    pts = [hc.G1_GEN, hc.multiply(hc.G1_GEN, 5), None]
+    # zero scalar, order-1 scalar, scalar on infinity point
+    scalars = [0, hc.R_ORDER - 1, 7]
+    expect = hc.neg(hc.multiply(hc.G1_GEN, 5))
+    assert msm_bitsplit_host(pts, scalars) == expect
+
+
+def test_generator_comb(sample):
+    _, scalars = sample
+    sc = dc.pack_scalars(scalars + [0, 1, hc.R_ORDER - 1])
+    affs = dc.unpack_points(generator_comb_mul(sc))
+    for s, a in zip(scalars + [0, 1, hc.R_ORDER - 1], affs):
+        assert a == (hc.multiply(hc.G1_GEN, s) if s else None)
+
+
+def test_comb_matches_ladder(sample):
+    _, scalars = sample
+    sc = dc.pack_scalars(scalars)
+    a = dc.unpack_points(generator_comb_mul(sc))
+    b = dc.unpack_points(dc.batch_generator_mul(sc))
+    assert a == b

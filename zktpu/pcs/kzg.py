@@ -31,6 +31,7 @@ from ..field.spec import BLS12_381_FR
 from ..poly.multilinear import MultilinearPoly, tensor_kernel, fold_kernel
 from ..curve import bls12_381 as hc
 from ..curve import device as dc
+from ..msm import msm_bitsplit, generator_comb_mul
 
 FR = BLS12_381_FR
 
@@ -75,7 +76,9 @@ class KZG:
         ctx = fb.get_ctx(FR)
         eq_mont = eq_table_device(taus)
         scalars = fb.from_mont(ctx, eq_mont)  # canonical Fr limbs
-        basis = dc.batch_generator_mul(scalars)
+        # fixed-base comb: ~16x fewer group ops than the reference's
+        # per-vertex ladder (kzg.rs:183-212)
+        basis = generator_comb_mul(scalars)
         g2_taus = [hc.multiply(hc.G2_GEN, t) for t in taus]
         return cls(basis, g2_taus, num_vars)
 
@@ -93,11 +96,11 @@ class KZG:
         if poly.table.shape[0] != self.g1_lagrange_basis[0].shape[0]:
             raise ValueError("invalid polynomial or lagrange basis")
         scalars = fb.from_mont(poly.ctx, poly.table)
-        jac = dc.msm(self.g1_lagrange_basis, scalars)
+        jac = msm_bitsplit(self.g1_lagrange_basis, scalars)
         return dc.unpack_points(tuple(t[None] for t in jac))[0]
 
     def _commit_scalars(self, scalars_canonical):
-        jac = dc.msm(self.g1_lagrange_basis, scalars_canonical)
+        jac = msm_bitsplit(self.g1_lagrange_basis, scalars_canonical)
         return dc.unpack_points(tuple(t[None] for t in jac))[0]
 
     def open(self, opening_values: list[int], poly: MultilinearPoly) -> int:
