@@ -78,7 +78,12 @@ def ntt(ctx, table, inverse: bool = False):
     log_n = n.bit_length() - 1
     if 1 << log_n != n:
         raise ValueError("Length must be a power of 2")
-    out = _ntt_kernel(ctx, table, log_n, inverse)
+    from .pallas_ntt import ntt_pallas, ntt_pallas_available
+
+    if ntt_pallas_available(n):
+        out = ntt_pallas(ctx, table, inverse)
+    else:
+        out = _ntt_kernel(ctx, table, log_n, inverse)
     if inverse:
         n_inv = pow(n, -1, ctx.spec.modulus)
         out = fb.mont_mul(ctx, out, fb.to_mont(ctx, jnp.asarray(ctx.pack(n_inv))))

@@ -199,13 +199,21 @@ def gkr_prove(
     proof_polynomials = []
     random_challenges = []
 
+    from ..field import pallas_kernels as pk
+
     for _ in range(num_rounds):
         P_, F_, size, _ = tables.shape
         half = size // 2
         # lerp muls for t >= 2, product muls, adds for sums + lerps
         tracker.count("mul", (degree - 1) * P_ * F_ * half + (degree + 1) * (F_ - 1) * P_ * half)
         tracker.count("add", (degree + 1) * P_ * half)
-        ys = _to_ints(ctx, gkr_round_kernel(ctx, tables, degree))
+        use_pallas = (
+            degree == 2 and (P_, F_) == (2, 2) and pk.pallas_available(size, pk.TILE // 4)
+        )
+        if use_pallas:
+            ys = pk.lazy_rows_to_ints(ctx, pk.gkr_round_pallas(ctx, tables, degree))
+        else:
+            ys = _to_ints(ctx, gkr_round_kernel(ctx, tables, degree))
         round_poly = UnivariatePoly.interpolate(
             spec, [(t, y) for t, y in enumerate(ys)]
         )
@@ -215,7 +223,11 @@ def gkr_prove(
         r = transcript.get_random_challenge()
         random_challenges.append(r)
         tracker.count("mul", tables.size // tables.shape[-1] // 2)
-        tables = fold_tables_kernel(ctx, tables, _encode(ctx, r))
+        r_mont = _encode(ctx, r)
+        if use_pallas:
+            tables = pk.fold_pallas(ctx, tables, r_mont)
+        else:
+            tables = fold_tables_kernel(ctx, tables, r_mont)
 
     return GkrSumcheckProof(proof_polynomials, claimed_sum, random_challenges)
 
