@@ -15,6 +15,14 @@ coordinates by w^2, w^3). Verification equations only need bilinearity and a
 single final exponentiation over the *product* of Miller values, so the
 verifier does exactly one (p^12-1)/r exponentiation per pairing-product
 check.
+
+Lineage note: the generic FQ/FQP extension-field classes (polynomial
+reduction, extended-Euclid inverse) and the affine line-function Miller-loop
+structure follow the well-known public py_ecc (Ethereum Foundation, MIT)
+implementation pattern, re-derived here for BLS12-381: the Fq12 tower basis
+w^12 - 2w^6 + 2, the u = w^6 - 1 embedding of Fq2, the M-twist untwist map,
+and the single-final-exponentiation pairing-product check are original to
+this module.
 """
 
 from __future__ import annotations
