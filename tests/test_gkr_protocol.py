@@ -67,6 +67,44 @@ def test_verify_rejects_tampered_claimed_evaluation():
     assert not gkr.verify(proof, circuit)
 
 
+def test_lazy_prover_matches_dense_bytes():
+    """zktpu/gkr/lazy.py: the O(|w|) phase-table sumcheck must emit the exact
+    round polynomials of the reference-shaped dense tensors."""
+    structure = [[ADD, ADD, ADD, ADD], [MUL, ADD], [ADD]]
+    circuit = Circuit(ctx, structure)
+    inputs = [5, 2, 2, 4, 10, 0, 3, 3]
+    dense = gkr.prove(circuit, inputs, taus=[11, 7, 13], lazy=False)
+    lazy = gkr.prove(circuit, inputs, taus=[11, 7, 13], lazy=True)
+    for layer_d, layer_l in zip(dense.proof_polynomials, lazy.proof_polynomials):
+        assert [p.coefficients for p in layer_d] == [p.coefficients for p in layer_l]
+    assert dense.claimed_evaluations == lazy.claimed_evaluations
+    assert dense.input_proof.opened_evals == lazy.input_proof.opened_evals
+    # cross-verification: both verifier paths accept the lazy proof
+    assert gkr.verify(lazy, circuit, lazy=True)
+    assert gkr.verify(lazy, circuit, lazy=False)
+
+
+def test_lazy_scale_roundtrip():
+    """A 2^5-input (31-gate) circuit: the wiring tables of the dense path
+    would be 2^13 x ... per layer; the lazy path stays O(|w|). Mix of ops."""
+    import numpy as np
+
+    rng = np.random.default_rng(19)
+    structure = []
+    n = 16
+    while n >= 1:
+        structure.append([ADD if rng.integers(2) else MUL for _ in range(n)])
+        n //= 2
+    circuit = Circuit(ctx, structure)
+    inputs = [int(v) for v in rng.integers(0, 1 << 61, size=32)]
+    proof = gkr.prove(circuit, inputs, taus=[int(t) for t in rng.integers(2, 1 << 60, size=5)])
+    assert gkr.verify(proof, circuit)
+    # tamper: flip one claimed evaluation
+    o1, o2 = proof.claimed_evaluations[1]
+    proof.claimed_evaluations[1] = ((o1 + 1) % FR.modulus, o2)
+    assert not gkr.verify(proof, circuit)
+
+
 def test_single_layer_circuit():
     """Smallest circuit: one gate; output poly padded to 2 entries."""
     circuit = Circuit(ctx, [[MUL]])

@@ -1,7 +1,8 @@
 """MSM strategies vs the host curve oracle.
 
-bit_split and the fixed-base comb must agree with naive host scalar-mul/add
-(zktpu/curve/bls12_381.py, itself pinned to known BLS12-381 vectors).
+bit_split, Pippenger and the fixed-base comb must agree with naive host
+scalar-mul/add (zktpu/curve/bls12_381.py, itself pinned to known BLS12-381
+vectors).
 """
 
 import numpy as np
@@ -11,6 +12,7 @@ from zktpu.curve import bls12_381 as hc
 from zktpu.curve import device as dc
 from zktpu.msm import msm_bitsplit, generator_comb_mul
 from zktpu.msm.bit_split import msm_bitsplit_host
+from zktpu.msm.pippenger import msm_pippenger_host
 
 
 @pytest.fixture(scope="module")
@@ -38,6 +40,50 @@ def test_bitsplit_edge_cases():
     scalars = [0, hc.R_ORDER - 1, 7]
     expect = hc.neg(hc.multiply(hc.G1_GEN, 5))
     assert msm_bitsplit_host(pts, scalars) == expect
+
+
+@pytest.mark.parametrize("c", [4, 8])
+def test_pippenger_matches_host(sample, c):
+    """c=16 (the large-MSM config) is exercised on TPU by bench.py; its
+    32k-bucket reduction is too slow for CPU CI."""
+    pts, scalars = sample
+    expect = None
+    for p, s in zip(pts, scalars):
+        t = hc.multiply(p, s)
+        expect = t if expect is None else hc.add(expect, t)
+    assert msm_pippenger_host(pts, scalars, c=c) == expect
+
+
+def test_pippenger_edge_cases():
+    pts = [hc.G1_GEN, hc.multiply(hc.G1_GEN, 5), None]
+    scalars = [0, hc.R_ORDER - 1, 7]
+    expect = hc.neg(hc.multiply(hc.G1_GEN, 5))
+    assert msm_pippenger_host(pts, scalars, c=4) == expect
+
+
+def test_pippenger_duplicate_points():
+    """Duplicate (point, digit) pairs force the doubling branch inside the
+    compaction tree."""
+    pts = [hc.G1_GEN] * 4 + [hc.multiply(hc.G1_GEN, 3)] * 3
+    scalars = [123456789] * 4 + [987654321] * 3
+    expect = hc.add(
+        hc.multiply(hc.G1_GEN, 4 * 123456789),
+        hc.multiply(hc.G1_GEN, 9 * 987654321),
+    )
+    assert msm_pippenger_host(pts, scalars, c=4) == expect
+
+
+def test_pippenger_matches_bitsplit_larger():
+    """128-point cross-check of two independent device strategies."""
+    rng = np.random.default_rng(7)
+    base = [hc.multiply(hc.G1_GEN, int(k)) for k in rng.integers(1, 1 << 30, size=8)]
+    pts = [base[i % 8] for i in range(128)]
+    scalars = [int(a) * int(b) % hc.R_ORDER for a, b in rng.integers(1, 1 << 62, size=(128, 2))]
+    a = msm_pippenger_host(pts, scalars, c=8)
+    packed = dc.pack_points(pts)
+    sc = dc.pack_scalars(scalars)
+    b = dc.unpack_points(tuple(t[None] for t in msm_bitsplit(packed, sc)))[0]
+    assert a == b
 
 
 def test_generator_comb(sample):

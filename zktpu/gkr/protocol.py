@@ -33,6 +33,7 @@ from ..sumcheck import protocol as sumcheck
 from ..transcript import Transcript
 from ..pcs.kzg import KZG, random_taus
 from .circuit import Circuit, Layer, ADD, MUL
+from . import lazy as lazy_mod
 
 FR = BLS12_381_FR
 
@@ -148,10 +149,25 @@ def get_folded_verifier_claim(ctx, layer: Layer, current_challenges: list[int],
     return (a_r * (o_1 + o_2) + m_r * (o_1 * o_2)) % p
 
 
-def prove(circuit: Circuit, inputs: list[int], taus: list[int] | None = None) -> GkrProof:
-    """Full GKR proof over BLS12-381 Fr (reference :31-126)."""
+def _lazy_ok(circuit: Circuit) -> bool:
+    """The lazy fbc path covers power-of-two layers with <= 2 output gates
+    (always true for well-formed reference circuits); anything else falls
+    back to the dense tensors."""
+    sizes_ok = all((l.n_gates & (l.n_gates - 1)) == 0 for l in circuit.layers)
+    return sizes_ok and circuit.layers[-1].n_gates <= 2
+
+
+def prove(circuit: Circuit, inputs: list[int], taus: list[int] | None = None,
+          lazy: bool | None = None) -> GkrProof:
+    """Full GKR proof over BLS12-381 Fr (reference :31-126).
+
+    ``lazy``: use the O(|w|) phase-table sumcheck (zktpu/gkr/lazy.py) instead
+    of the reference-shaped dense tensors; proof bytes are identical (tested).
+    Auto-selected when None."""
     ctx = fb.get_ctx(FR)
     transcript = Transcript(FR)
+    if lazy is None:
+        lazy = _lazy_ok(circuit)
 
     input_poly = MultilinearPoly.from_ints(ctx, inputs)
     circuit_evaluations = circuit.evaluate(input_poly)
@@ -178,14 +194,22 @@ def prove(circuit: Circuit, inputs: list[int], taus: list[int] | None = None) ->
     for idx, layer in enumerate(layers_rev):
         w_i = input_poly if idx == num_layers - 1 else evals_rev[idx + 1]
 
-        if idx == 0:
-            fbc_poly = get_fbc_poly(ctx, random_challenge, layer, w_i, w_i)
+        if lazy:
+            if idx == 0:
+                fbc_poly = lazy_mod.lazy_fbc(ctx, random_challenge, layer, w_i)
+            else:
+                fbc_poly = lazy_mod.lazy_folded_fbc(
+                    ctx, layer, w_i, current_rb, current_rc, alpha, beta
+                )
+            sc_proof = lazy_mod.gkr_prove_lazy(claimed_sum, fbc_poly, transcript)
         else:
-            fbc_poly = get_folded_fbc_poly(
-                ctx, layer, w_i, w_i, current_rb, current_rc, alpha, beta
-            )
-
-        sc_proof = sumcheck.gkr_prove(claimed_sum, fbc_poly, transcript)
+            if idx == 0:
+                fbc_poly = get_fbc_poly(ctx, random_challenge, layer, w_i, w_i)
+            else:
+                fbc_poly = get_folded_fbc_poly(
+                    ctx, layer, w_i, w_i, current_rb, current_rc, alpha, beta
+                )
+            sc_proof = sumcheck.gkr_prove(claimed_sum, fbc_poly, transcript)
         proof_polys.append(sc_proof.proof_polynomials)
 
         mid = len(sc_proof.random_challenges) // 2
@@ -224,10 +248,13 @@ def prove(circuit: Circuit, inputs: list[int], taus: list[int] | None = None) ->
     return GkrProof(output_poly, proof_polys, claimed_evaluations, input_proof)
 
 
-def verify(proof: GkrProof, circuit: Circuit) -> bool:
-    """Reference :128-227."""
+def verify(proof: GkrProof, circuit: Circuit, lazy: bool | None = None) -> bool:
+    """Reference :128-227. ``lazy`` selects the analytic wiring-predicate
+    evaluation (same field values as the dense tables; auto when None)."""
     ctx = fb.get_ctx(FR)
     transcript = Transcript(FR)
+    if lazy is None:
+        lazy = _lazy_ok(circuit)
 
     current_claim, init_random_challenge = _initiate_protocol(
         transcript, proof.output_poly
@@ -266,11 +293,15 @@ def verify(proof: GkrProof, circuit: Circuit) -> bool:
             o_1, o_2 = proof.claimed_evaluations[i]
 
         if i == 0:
-            expected_claim = get_verifier_claim(
+            claim_fn = (lazy_mod.verifier_claim_lazy if lazy
+                        else get_verifier_claim)
+            expected_claim = claim_fn(
                 ctx, layer, init_random_challenge, challenges, o_1, o_2
             )
         else:
-            expected_claim = get_folded_verifier_claim(
+            claim_fn = (lazy_mod.folded_verifier_claim_lazy if lazy
+                        else get_folded_verifier_claim)
+            expected_claim = claim_fn(
                 ctx, layer, challenges, prev_challenges, o_1, o_2, alpha, beta
             )
 

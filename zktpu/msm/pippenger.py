@@ -1,0 +1,297 @@
+"""Pippenger MSM on TPU: sort-by-digit bucket accumulation + suffix-scan
+bucket reduction, built entirely from scatter-free XLA primitives.
+
+Replaces the reference's naive per-point MSM loop
+(/root/reference/pcs/src/kzg_pcs/kzg.rs:131-144) and round 1's bit-split
+relaxation (zktpu/msm/bit_split.py) on the large-MSM path (SURVEY.md
+section 7.6: "Pippenger MSM (window buckets per chip, bucket reduction via
+collectives)").
+
+Why this shape on a TPU
+-----------------------
+Classic GPU Pippenger scatters points into buckets -- TPUs have no fast
+scatter, and a naive masked alternative costs ``n * log n`` group adds. This
+implementation keeps the total group-op count at ~``2.5 * W * n`` adds
+(W = number of windows) with only wide, static-shape vector steps:
+
+1. **Digits**: c-bit windows (c | 16) sliced out of the 16-bit limb layout.
+   Signed recoding (digit in [-2^(c-1), 2^(c-1)]) halves the bucket count;
+   a negative digit just negates Y (free).
+2. **Sort**: one ``argsort`` of ``window * NBUCK + |digit|`` keys groups equal
+   buckets into contiguous runs -- data movement, no group math.
+3. **Compaction tree**: ceil(log2(L)) rounds; each round pairs rank-even run
+   elements with their right neighbour (one Jacobian add at the *compacted*
+   width) and compacts survivors by gather (`cumsum` + `searchsorted`, no
+   scatter). Every run halves every round and the array physically shrinks,
+   so total add work is a small constant times the input size.
+4. **Densify**: merge the per-key survivors with one dummy infinity per
+   bucket, sort, one more pair round -> a dense (W, NBUCK) bucket table.
+5. **Bucket reduction**: suffix sums T_j = sum_{k>=j} B_k by Kogge-Stone
+   shifts, then sum_j T_j = sum_k k*B_k by a pairwise tree.
+6. **Window combine**: c-double Horner chain over the W windows.
+
+Compile-time discipline: every unrolled point-op call site inlines ~1k HLO
+ops (a 24-limb CIOS per field mul), so long Python-unrolled chains are
+compile killers. Window groups run under one ``lax.scan``, equal-size
+compaction rounds under another, and the Horner chain under ``fori_loop`` --
+the whole MSM stays at a few dozen point-op sites regardless of n.
+
+Infinity is Z == 0 throughout, so "masked out" lanes are free and
+``point_add`` handles every edge case branchlessly (zktpu/curve/device.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..curve import device as dc
+from ..field import jnp_backend as fb
+from ..field.spec import LIMB_BITS
+
+FQ_CTX = dc.FQ_CTX
+
+_MAXKEY = jnp.int32(2**30)
+
+
+def pick_window_bits(n: int) -> int:
+    """Smallest total-group-op window width for an n-point MSM."""
+    best, best_cost = 4, None
+    for c in (4, 8, 16):
+        w = 256 // c
+        cost = w * (2.5 * n + 4 * (1 << (c - 1)))
+        if best_cost is None or cost < best_cost:
+            best, best_cost = c, cost
+    return best
+
+
+def _recode_signed(scalars, c: int):
+    """Canonical (n, 16) Fr limbs -> (W, n) |digit| uint32 + (W, n) sign bool.
+
+    scalar = sum_w d_w * 2^(cw) with d_w in [-2^(c-1), 2^(c-1)]; a digit
+    > 2^(c-1) borrows: use d - 2^c and carry 1 into the next window. W*c =
+    256 > 255 scalar bits, so the top window never overflows.
+    """
+    n = scalars.shape[0]
+    W = 256 // c
+    per_limb = LIMB_BITS // c
+    carry = jnp.zeros((n,), jnp.uint32)
+    half = jnp.uint32(1 << (c - 1))
+    full = jnp.uint32(1 << c)
+    mask = jnp.uint32((1 << c) - 1)
+    abs_digits, signs = [], []
+    for w in range(W):
+        u = (scalars[:, w // per_limb] >> ((w % per_limb) * c)) & mask
+        d = u + carry
+        neg = d > half
+        abs_digits.append(jnp.where(neg, full - d, d))
+        signs.append(neg)
+        carry = neg.astype(jnp.uint32)
+    return jnp.stack(abs_digits), jnp.stack(signs)
+
+
+def _gather_pt(pt, idx):
+    return tuple(v[idx] for v in pt)
+
+
+def _where_pt(mask, a, b):
+    m = mask[..., None]
+    return tuple(jnp.where(m, x, y) for x, y in zip(a, b))
+
+
+def _compact_round(key, pt, l_next: int):
+    """One compaction-tree round: pair rank-even elements with their right
+    neighbour when keys match, then compact survivors to ``l_next`` slots.
+
+    ``key``: (L,) int32 sorted; ``pt``: Jacobian (L, N) triple. Padding slots
+    get key MAXKEY / value infinity (they merge harmlessly at the tail).
+    """
+    L = key.shape[0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
+    head = jnp.concatenate([jnp.ones((1,), bool), key[1:] != key[:-1]])
+    run_start = jax.lax.cummax(jnp.where(head, pos, 0))
+    rank = pos - run_start
+    is_left = (rank & 1) == 0
+    next_same = jnp.concatenate([key[1:] == key[:-1], jnp.zeros((1,), bool)])
+    has_partner = jnp.logical_and(is_left, next_same)
+
+    # survivor j (0-based) lives at the position of the (j+1)-th is_left
+    csum = jnp.cumsum(is_left.astype(jnp.int32))
+    total = csum[-1]
+    wanted = jax.lax.broadcasted_iota(jnp.int32, (l_next,), 0) + 1
+    srcpos = jnp.searchsorted(csum, wanted, side="left")
+    valid = wanted <= total
+    srcpos = jnp.clip(srcpos, 0, L - 1)
+
+    left = _gather_pt(pt, srcpos)
+    right = _gather_pt(pt, jnp.clip(srcpos + 1, 0, L - 1))
+    merged = dc.point_add(left, right)
+    take_merge = jnp.logical_and(has_partner[srcpos], valid)
+    out = _where_pt(take_merge, merged, left)
+    out = _where_pt(valid, out, dc.infinity_like((l_next,)))
+    new_key = jnp.where(valid, key[srcpos], _MAXKEY)
+    return new_key, out
+
+
+def _compaction_schedule(l0: int, max_segments: int) -> tuple[list[int], int]:
+    """(shrinking sizes, fixed-size round count): survivors <= (L+#runs)/2,
+    ceil(log2(l0)) total rounds guarantee every run reaches length 1. Once
+    the size stops shrinking meaningfully (<= 2*max_segments) the remaining
+    rounds run at one fixed size under a single lax.scan."""
+    rounds = max(1, math.ceil(math.log2(max(2, l0))))
+    sizes, L = [], l0
+    while L > 2 * max_segments and len(sizes) < rounds:
+        L = min(L, (L + max_segments + 1) // 2 + 1)
+        sizes.append(L)
+    return sizes, rounds - len(sizes)
+
+
+def _group_bucket_sums(points, abs_d, signs, nbuck: int):
+    """Dense (Wg, nbuck) Jacobian bucket table for a group of windows
+    (bucket 0 holds junk and is dropped by the reduction)."""
+    Xp, Yp, Zp = points
+    Wg, n = abs_d.shape
+    L0 = Wg * n
+
+    key = (abs_d.astype(jnp.int32)
+           + (jax.lax.broadcasted_iota(jnp.int32, (Wg, 1), 0) * nbuck)).reshape(L0)
+    order = jnp.argsort(key)
+    skey = key[order]
+    src = order % n
+    sgn = signs.reshape(L0)[order]
+
+    X = Xp[src]
+    Z = Zp[src]
+    Y = Yp[src]
+    Y = jnp.where(sgn[:, None], fb.neg(FQ_CTX, Y), Y)
+    # digit 0 contributes nothing: mask those lanes to infinity
+    Z = jnp.where((skey % nbuck == 0)[:, None], jnp.zeros_like(Z), Z)
+    pt = (X, Y, Z)
+
+    max_segments = Wg * nbuck + 1  # +1 for the padding-sentinel run
+    shrink_sizes, fixed_rounds = _compaction_schedule(L0, max_segments)
+    for l_next in shrink_sizes:
+        skey, pt = _compact_round(skey, pt, l_next)
+    if fixed_rounds > 0:
+        L = skey.shape[0]
+
+        def body(state, _):
+            k, p = state
+            return _compact_round(k, p, L), None
+
+        (skey, pt), _ = jax.lax.scan(body, (skey, pt), None, length=fixed_rounds)
+
+    # densify: one dummy infinity per (window, bucket) key, sort, one more
+    # pair round -> exactly one entry per key, in key order
+    n_keys = Wg * nbuck
+    dummy_key = jax.lax.broadcasted_iota(jnp.int32, (n_keys,), 0)
+    all_key = jnp.concatenate([skey, dummy_key])
+    order2 = jnp.argsort(all_key)
+    skey2 = all_key[order2]
+    inf = dc.infinity_like((n_keys,))
+    pt2 = tuple(jnp.concatenate([a, b], axis=0)[order2] for a, b in zip(pt, inf))
+    _, dense = _compact_round(skey2, pt2, n_keys)
+    return tuple(v.reshape(Wg, nbuck, -1) for v in dense)
+
+
+def _weighted_bucket_reduce(buckets):
+    """(W, NBUCK, N) bucket table -> (W, N) per-window sums sum_k k*B_k.
+
+    Kogge-Stone suffix sums T_j = sum_{k>=j} B_k (log2(K) full-width adds),
+    then sum_{j>=1} T_j via a halving pairwise tree; bucket 0 is dropped.
+    """
+    vals = tuple(v[:, 1:] for v in buckets)  # k = 1 .. NBUCK-1
+    K = vals[0].shape[1]
+    d = 1
+    while d < K:
+        inf = dc.infinity_like((vals[0].shape[0], d))
+        shifted = tuple(
+            jnp.concatenate([v[:, d:], pad], axis=1) for v, pad in zip(vals, inf)
+        )
+        vals = dc.point_add(vals, shifted)
+        d *= 2
+    k = K
+    while k > 1:
+        half = k // 2
+        lo = tuple(v[:, :half] for v in vals)
+        hi = tuple(v[:, half : 2 * half] for v in vals)
+        red = dc.point_add(lo, hi)
+        if k % 2:
+            red = tuple(
+                jnp.concatenate([r, v[:, 2 * half :]], axis=1)
+                for r, v in zip(red, vals)
+            )
+        vals = red
+        k = vals[0].shape[1]
+    return tuple(v[:, 0] for v in vals)
+
+
+def _pick_window_group(n: int, num_windows: int) -> int:
+    """Windows per sort pass (must divide W), capping sort+gather peak
+    memory at ~1.5 GB."""
+    budget = int(1.5e9)
+    per_window = max(1, n) * 288  # 3 coords * 24 limbs * 4 B
+    cap = max(1, budget // per_window)
+    wg = num_windows
+    while wg > cap:
+        wg //= 2
+    return max(1, wg)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _msm_impl(points, scalars, c: int, window_group: int):
+    num_windows = 256 // c
+    nbuck = (1 << (c - 1)) + 1
+    abs_d, signs = _recode_signed(scalars, c)
+    n_groups = num_windows // window_group
+    abs_g = abs_d.reshape(n_groups, window_group, -1)
+    sgn_g = signs.reshape(n_groups, window_group, -1)
+
+    if n_groups == 1:
+        buckets = _group_bucket_sums(points, abs_g[0], sgn_g[0], nbuck)
+    else:
+        def body(_, inp):
+            a, s = inp
+            return None, _group_bucket_sums(points, a, s, nbuck)
+
+        _, stacked = jax.lax.scan(body, None, (abs_g, sgn_g))
+        buckets = tuple(v.reshape(num_windows, nbuck, -1) for v in stacked)
+
+    per_window = _weighted_bucket_reduce(buckets)
+
+    # Horner over windows: acc = ((R_{W-1} * 2^c + R_{W-2}) * 2^c + ...)
+    acc0 = tuple(v[num_windows - 1] for v in per_window)
+
+    def horner(i, acc):
+        w = num_windows - 2 - i
+        acc = jax.lax.fori_loop(0, c, lambda _, a: dc.point_double(a), acc)
+        pw = tuple(
+            jax.lax.dynamic_index_in_dim(v, w, axis=0, keepdims=False)
+            for v in per_window
+        )
+        return dc.point_add(acc, pw)
+
+    return jax.lax.fori_loop(0, num_windows - 1, horner, acc0)
+
+
+def msm_pippenger(points, scalars, c: int | None = None):
+    """MSM over Jacobian limb points ((n, 24) triple) and canonical (n, 16)
+    Fr scalars; returns a single Jacobian point triple ((24,) arrays).
+
+    ``c``: window bit-width (4, 8 or 16); picked by input size when None.
+    """
+    n = scalars.shape[0]
+    if c is None:
+        c = pick_window_bits(n)
+    return _msm_impl(points, scalars, c, _pick_window_group(n, 256 // c))
+
+
+def msm_pippenger_host(affine_points, scalar_ints, c: int | None = None):
+    """Host points/ints in, host affine point out (test convenience)."""
+    pts = dc.pack_points(affine_points)
+    sc = dc.pack_scalars(scalar_ints)
+    out = msm_pippenger(pts, sc, c)
+    return dc.unpack_points(tuple(t[None] for t in out))[0]

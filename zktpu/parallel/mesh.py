@@ -177,6 +177,125 @@ def sumcheck_prove_sharded(poly: MultilinearPoly, mesh: Mesh):
 
 
 # ----------------------------------------------------------------------
+# sharded GKR-variant (lazy fbc) sumcheck
+# ----------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=0)
+def _sharded_fold_stack(ctx: FieldCtx, tables, value):
+    """Fold variable 0 of minor-sharded stacked tables (..., rows, D, N)."""
+    *lead, rows, d, n = tables.shape
+    shaped = tables.reshape(*lead, 2, rows // 2, d, n)
+    a = shaped[..., 0, :, :, :]
+    b = shaped[..., 1, :, :, :]
+    return fb.add(ctx, a, fb.mont_mul(ctx, value, fb.sub(ctx, b, a)))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _sharded_gkr_round(ctx: FieldCtx, tables):
+    """Degree-2 round-poly evals for (2, 2, rows, D, N) minor-sharded
+    2-product x 2-factor tables; same field values as
+    ``zktpu.sumcheck.protocol.gkr_round_kernel``."""
+    _, _, rows, d, n = tables.shape
+    half = rows // 2
+    a = tables[:, :, :half]
+    b = tables[:, :, half:]
+    diff = fb.sub(ctx, b, a)
+    two = fb.add(ctx, jnp.asarray(ctx.one_mont), jnp.asarray(ctx.one_mont))
+    ys = []
+    for t in range(3):
+        if t == 0:
+            vals = a
+        elif t == 1:
+            vals = b
+        else:
+            vals = fb.add(ctx, a, fb.mont_mul(ctx, two, diff))
+        prod = fb.mont_mul(ctx, vals[:, 0], vals[:, 1])
+        total = fb.add(ctx, prod[0], prod[1])
+        ys.append(fb.field_sum(ctx, total.reshape(-1, n), axis=0))
+    return jnp.stack(ys)
+
+
+def gkr_sumcheck_lazy_sharded(claimed_sum: int, fbc, transcript, mesh: Mesh):
+    """Multi-chip lazy-fbc sumcheck (zktpu/gkr/lazy.py): phase tables are
+    minor-bit sharded so every fold is local and only the per-round sums
+    cross chips; transcript bytes identical to ``gkr_prove_lazy``.
+
+    Both phases run as 2-product/2-factor tables ([[F, G], [H, 1]] for phase
+    1 -- multiplying by the constant 1 table changes no field value); the
+    last log2(D) rounds of each phase run replicated on the gathered table.
+    """
+    from ..gkr import lazy as lazy_mod
+    from ..poly.univariate import UnivariatePoly
+    from ..sumcheck import protocol as sc
+    from ..sumcheck.protocol import GkrSumcheckProof
+
+    ctx = fbc.ctx
+    spec = ctx.spec
+    nb = fbc.num_rounds // 2
+    d = mesh.devices.size
+    proof_polynomials = []
+    random_challenges = []
+
+    def shard_stack(tables):
+        *lead, size, n = tables.shape
+        reshaped = tables.reshape(*lead, size // d, d, n)
+        spec_axes = P(*([None] * len(lead)), None, AXIS, None)
+        return jax.device_put(reshaped, NamedSharding(mesh, spec_axes))
+
+    def run_phase(tables):
+        """tables: (2, 2, size, N) dense -> appends nb round polys."""
+        size = tables.shape[2]
+        sharded = shard_stack(tables) if size > d else None
+        dense = tables if sharded is None else None
+        rounds = size.bit_length() - 1  # == nb
+        for _ in range(rounds):
+            if sharded is not None and sharded.shape[2] > 1:
+                ys = sc._to_ints(ctx, _sharded_gkr_round(ctx, sharded))
+            else:
+                if dense is None:
+                    gathered = jax.device_put(sharded, replicated(mesh))
+                    dense = gathered.reshape(2, 2, -1, ctx.num_limbs)
+                    sharded = None
+                ys = sc._to_ints(ctx, sc.gkr_round_kernel(ctx, dense, 2))
+            round_poly = UnivariatePoly.interpolate(
+                spec, [(t, y) for t, y in enumerate(ys)]
+            )
+            transcript.append_field_elements(round_poly.coefficients)
+            proof_polynomials.append(round_poly)
+            r = transcript.get_random_challenge()
+            random_challenges.append(r)
+            r_mont = sc._encode(ctx, r)
+            if sharded is not None:
+                sharded = _sharded_fold_stack(ctx, sharded, r_mont)
+            else:
+                dense = sc.fold_tables_kernel(ctx, dense, r_mont)
+        final = dense if dense is not None else jax.device_put(
+            sharded, replicated(mesh)
+        ).reshape(2, 2, -1, ctx.num_limbs)
+        return final
+
+    # ---- phase 1: bind b (tables [[F, G], [H, 1]]) -----------------------
+    gh = lazy_mod._phase1_tables_kernel(ctx, fbc.coef_a, fbc.coef_m, fbc.w_table)
+    ones = jnp.broadcast_to(
+        jnp.asarray(ctx.one_mont), fbc.w_table.shape
+    ).astype(jnp.uint32)
+    tables1 = jnp.stack([
+        jnp.stack([fbc.w_table, gh[0]]), jnp.stack([gh[1], ones])
+    ])
+    final1 = run_phase(tables1)
+    wb = final1[0, 0, 0]  # folded F = w(r_b)
+
+    # ---- phase 2: bind c --------------------------------------------------
+    eqb = lazy_mod.eq_tensor(ctx, [sc._encode(ctx, r) for r in random_challenges[:nb]])
+    tables2 = lazy_mod._phase2_tables_kernel(
+        ctx, fbc.coef_a, fbc.coef_m, fbc.w_table, eqb, wb
+    )
+    run_phase(tables2)
+
+    return GkrSumcheckProof(proof_polynomials, claimed_sum, random_challenges)
+
+
+# ----------------------------------------------------------------------
 # sharded MSM
 # ----------------------------------------------------------------------
 
@@ -195,6 +314,47 @@ def msm_sharded(mesh: Mesh, points, scalars):
         return dc.msm(pts, sc)
 
     return run(pts, sc)
+
+
+def msm_pippenger_sharded(mesh: Mesh, points, scalars, c: int | None = None):
+    """Multi-chip Pippenger: MSM is linear in the point set, so each device
+    runs the full windowed pipeline on its batch shard (digits, sort,
+    compaction tree, bucket reduction -- zktpu/msm/pippenger.py) and only the
+    D per-device results cross chips (one all_gather of 3 coordinates + a
+    log(D) point tree). Exact same group element as the single-chip MSM."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+
+    from ..curve import device as dc
+    from ..msm import pippenger as pp
+
+    d = mesh.devices.size
+    n = scalars.shape[0]
+    if n % d:
+        raise ValueError("point count must divide the mesh")
+    if c is None:
+        c = pp.pick_window_bits(n // d)
+    wg = pp._pick_window_group(n // d, 256 // c)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=((P(AXIS, None),) * 3, P(AXIS, None)),
+        out_specs=P(),
+    )
+    def run(pts, sc):
+        local = pp._msm_impl.__wrapped__(pts, sc, c, wg)
+        gathered = tuple(
+            jax.lax.all_gather(v, AXIS) for v in local
+        )  # (D, 24) each
+        return dc.tree_sum_points(gathered)
+
+    pts = tuple(
+        jax.device_put(t, NamedSharding(mesh, P(AXIS, None))) for t in points
+    )
+    sc = jax.device_put(scalars, NamedSharding(mesh, P(AXIS, None)))
+    return jax.jit(run)(pts, sc)
 
 
 def point_tree_sum_sharded(mesh: Mesh, points):

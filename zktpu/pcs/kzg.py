@@ -14,8 +14,15 @@ Capability parity with /root/reference/pcs/src/kzg_pcs/kzg.rs:
 
 TPU design: the eq_x(tau) table is built on device as a chain of tensor
 products (one kron per variable, MSB-first to match ``generate_bhc``), the
-SRS and every commitment MSM run as batched-ladder device kernels
-(``zktpu.curve.device``), and only the verifier's pairings run on host.
+SRS comes from a fixed-base comb, commitments use the Pippenger MSM
+(zktpu/msm/pippenger.py), and only the verifier's pairings run on host.
+
+Collapsed quotient bases: the reference commits each blown-up quotient
+against the FULL basis -- n MSMs of 2^n points. Because ``blow_up_poly``
+just tiles the quotient, commit(tile(q)) == MSM(q, C_k) where C_k[y] =
+sum_j L[j * |q| + y] -- and the C_k form a halving chain of point adds
+(C_{k+1} = C_k[:m] + C_k[m:]). get_proof therefore does MSMs of total size
+2^n - 1 instead of n * 2^n, with bit-identical commitments.
 """
 
 from __future__ import annotations
@@ -31,9 +38,21 @@ from ..field.spec import BLS12_381_FR
 from ..poly.multilinear import MultilinearPoly, tensor_kernel, fold_kernel
 from ..curve import bls12_381 as hc
 from ..curve import device as dc
-from ..msm import msm_bitsplit, generator_comb_mul
+from ..msm import generator_comb_mul, msm_bitsplit
+from ..msm.pippenger import msm_pippenger
 
 FR = BLS12_381_FR
+
+#: below this size the bit-split MSM wins (Pippenger's sort/bucket pipeline
+#: compiles ~40 point-op sites; bit-split is one fori_loop -- at small n the
+#: compile cost dominates any runtime difference)
+PIPPENGER_MIN = 4096
+
+
+def _msm_auto(points, scalars):
+    if scalars.shape[0] >= PIPPENGER_MIN:
+        return msm_pippenger(points, scalars)
+    return msm_bitsplit(points, scalars)
 
 
 def random_taus(num_vars: int) -> list[int]:
@@ -64,6 +83,8 @@ class KZG:
     g1_lagrange_basis: tuple
     g2_taus: list
     num_vars: int
+    #: halving chain of collapsed bases for quotient commitments (lazy)
+    _collapsed: list | None = dataclasses.field(default=None, repr=False)
 
     @classmethod
     def setup(cls, num_vars: int, taus: list[int] | None = None) -> "KZG":
@@ -92,16 +113,27 @@ class KZG:
     # ------------------------------------------------------------------
 
     def commit(self, poly: MultilinearPoly):
-        """MSM of the evaluation table against the Lagrange basis."""
+        """Pippenger MSM of the evaluation table against the Lagrange basis."""
         if poly.table.shape[0] != self.g1_lagrange_basis[0].shape[0]:
             raise ValueError("invalid polynomial or lagrange basis")
         scalars = fb.from_mont(poly.ctx, poly.table)
-        jac = msm_bitsplit(self.g1_lagrange_basis, scalars)
+        jac = _msm_auto(self.g1_lagrange_basis, scalars)
         return dc.unpack_points(tuple(t[None] for t in jac))[0]
 
-    def _commit_scalars(self, scalars_canonical):
-        jac = msm_bitsplit(self.g1_lagrange_basis, scalars_canonical)
-        return dc.unpack_points(tuple(t[None] for t in jac))[0]
+    def collapsed_bases(self) -> list:
+        """collapsed_bases()[k]: basis folded k+1 times -- the commitment
+        basis for the step-k quotient (size 2^(n-1-k)). Built once, total
+        2^n - 1 point adds."""
+        if self._collapsed is None:
+            chain, cur = [], self.g1_lagrange_basis
+            for _ in range(self.num_vars):
+                half = cur[0].shape[0] // 2
+                cur = dc.point_add(
+                    tuple(v[:half] for v in cur), tuple(v[half:] for v in cur)
+                )
+                chain.append(cur)
+            object.__setattr__(self, "_collapsed", chain)
+        return self._collapsed
 
     def open(self, opening_values: list[int], poly: MultilinearPoly) -> int:
         return poly.evaluate_int(list(opening_values))
@@ -116,14 +148,17 @@ class KZG:
         v_mont = fb.to_mont(ctx, jnp.asarray(ctx.pack(opened_value)))
         table = fb.sub(ctx, poly.table, v_mont)
 
+        del full_size
+        bases = self.collapsed_bases()
         proofs = []
-        for value in opening_values:
+        for k, value in enumerate(opening_values):
             half = table.shape[0] // 2
             quotient = fb.sub(ctx, table[half:], table[:half])  # f|x0=1 - f|x0=0
-            # blow up back to 2^n: tensor(ones, q, mul) == tile (reference :163-169)
-            factor = full_size // quotient.shape[0]
-            blown = jnp.tile(quotient, (factor, 1))
-            proofs.append(self._commit_scalars(fb.from_mont(ctx, blown)))
+            # commit(tile(quotient)) == MSM(quotient, collapsed basis): the
+            # reference's blow_up_poly (:163-169) just tiles, so the basis
+            # collapses instead of the scalars blowing up
+            jac = _msm_auto(bases[k], fb.from_mont(ctx, quotient))
+            proofs.append(dc.unpack_points(tuple(t[None] for t in jac))[0])
             # remainder: fold variable 0 at the opening value
             value_mont = fb.to_mont(ctx, jnp.asarray(ctx.pack(value)))
             table = fold_kernel(ctx, table, 0, value_mont)
