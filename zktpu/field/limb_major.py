@@ -143,6 +143,42 @@ def mont_mul(ctx, a, b, p_col=None):
     return _cond_sub_p(ctx, t[:n], t[n] > 0, p_col)
 
 
+def mont_mul_loop(ctx, a, b, p_col=None):
+    """CIOS as a ``fori_loop`` over the limb index: identical field values to
+    ``mont_mul`` with ~20x fewer HLO ops per call site.
+
+    The unrolled ``mont_mul`` is right inside Mosaic kernels (software
+    pipelining); this variant is for plain-XLA fallback paths (CPU tests)
+    where each point-op call site would otherwise cost minutes of XLA
+    optimization time.
+    """
+    import jax
+
+    n = ctx.num_limbs
+    shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a = jnp.broadcast_to(a, (n,) + shape)
+    b = jnp.broadcast_to(b, (n,) + shape)
+    p_col = _p_col(ctx, 1 + len(shape), p_col)
+    p_full = jnp.broadcast_to(p_col, (n,) + shape)
+    n0p = np.uint32(ctx.n0p)
+
+    def body(i, t):
+        a_i = jax.lax.dynamic_index_in_dim(a, i, axis=0, keepdims=False)
+        prod = a_i[None] * b
+        t = t + _pad_lo(prod & _MASK) + _pad_hi(prod >> LIMB_BITS)
+        m = ((t[0] & _MASK) * n0p) & _MASK
+        prod2 = m[None] * p_full
+        t = t + _pad_lo(prod2 & _MASK) + _pad_hi(prod2 >> LIMB_BITS)
+        carry0 = t[0] >> LIMB_BITS
+        return jnp.concatenate(
+            [t[1:2] + carry0[None], t[2:], jnp.zeros((1,) + shape, _U32)], axis=0
+        )
+
+    t = jax.lax.fori_loop(0, n, body, jnp.zeros((n + 1,) + shape, dtype=_U32))
+    t = ripple(t, ctx.num_limbs * (1 << 18) + (1 << 17))
+    return _cond_sub_p(ctx, t[:n], t[n] > 0, p_col)
+
+
 def mont_mul_scalar(ctx, a_limbs, b, p_col=None):
     """CIOS with a *scalar* left operand: ``a_limbs`` is a list of N traced
     uint32 scalars (one field element's digits, e.g. read from SMEM).

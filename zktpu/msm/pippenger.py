@@ -1,22 +1,21 @@
 """Pippenger MSM on TPU: sort-by-digit bucket accumulation + suffix-scan
-bucket reduction, built entirely from scatter-free XLA primitives.
+bucket reduction, with every group operation running as a Pallas point kernel
+over limb-major tiles.
 
 Replaces the reference's naive per-point MSM loop
-(/root/reference/pcs/src/kzg_pcs/kzg.rs:131-144) and round 1's bit-split
-relaxation (zktpu/msm/bit_split.py) on the large-MSM path (SURVEY.md
-section 7.6: "Pippenger MSM (window buckets per chip, bucket reduction via
-collectives)").
+(/root/reference/pcs/src/kzg_pcs/kzg.rs:131-144) (SURVEY.md section 7.6:
+"Pippenger MSM (window buckets per chip, bucket reduction via collectives)").
 
 Why this shape on a TPU
 -----------------------
 Classic GPU Pippenger scatters points into buckets -- TPUs have no fast
 scatter, and a naive masked alternative costs ``n * log n`` group adds. This
-implementation keeps the total group-op count at ~``2.5 * W * n`` adds
-(W = number of windows) with only wide, static-shape vector steps:
+implementation keeps the total group-op count at ~``2.2 * W * n`` adds
+(W = number of windows) using only wide, static-shape vector steps:
 
 1. **Digits**: c-bit windows (c | 16) sliced out of the 16-bit limb layout.
    Signed recoding (digit in [-2^(c-1), 2^(c-1)]) halves the bucket count;
-   a negative digit just negates Y (free).
+   a negative digit just negates Y (one modular sub).
 2. **Sort**: one ``argsort`` of ``window * NBUCK + |digit|`` keys groups equal
    buckets into contiguous runs -- data movement, no group math.
 3. **Compaction tree**: ceil(log2(L)) rounds; each round pairs rank-even run
@@ -30,14 +29,18 @@ implementation keeps the total group-op count at ~``2.5 * W * n`` adds
    shifts, then sum_j T_j = sum_k k*B_k by a pairwise tree.
 6. **Window combine**: c-double Horner chain over the W windows.
 
-Compile-time discipline: every unrolled point-op call site inlines ~1k HLO
-ops (a 24-limb CIOS per field mul), so long Python-unrolled chains are
-compile killers. Window groups run under one ``lax.scan``, equal-size
-compaction rounds under another, and the Horner chain under ``fori_loop`` --
-the whole MSM stays at a few dozen point-op sites regardless of n.
+Performance architecture: an XLA point-add call site inlines ~24 CIOS muls
+(~25k HLO ops) and costs minutes of XLA optimization PER SITE -- round 2's
+version spent 400-950 s compiling. Every group op here goes through
+``zktpu.curve.pallas_point`` instead: ONE Mosaic kernel per batch width,
+compiled in seconds and shared by all call sites of that width (compaction
+widths are quantized to the kernel tile to keep the set of widths small).
+Points stay limb-major (24, B) end to end -- full 128-lane utilization and
+5.3x less HBM traffic than the lanes-last (B, 24) layout, whose 24-wide minor
+axis pads to 128 lanes in both VMEM and HBM tiles.
 
-Infinity is Z == 0 throughout, so "masked out" lanes are free and
-``point_add`` handles every edge case branchlessly (zktpu/curve/device.py).
+Infinity is Z == 0 throughout, so masked-out lanes are free and the add
+kernel handles every edge case branchlessly (doubling, P == -Q, infinity).
 """
 
 from __future__ import annotations
@@ -49,20 +52,30 @@ import jax
 import jax.numpy as jnp
 
 from ..curve import device as dc
-from ..field import jnp_backend as fb
+from ..curve import lm_point as lp
+from ..curve.pallas_point import TILE, point_add_px, point_double_px
+from ..field import limb_major as lm
 from ..field.spec import LIMB_BITS
 
 FQ_CTX = dc.FQ_CTX
 
 _MAXKEY = jnp.int32(2**30)
+_U32 = jnp.uint32
 
 
 def pick_window_bits(n: int) -> int:
-    """Smallest total-group-op window width for an n-point MSM."""
+    """Window width minimizing total group adds for an n-point MSM.
+
+    Model: accumulation ~2.2*W*n (compaction tree), densify 2*W*K,
+    Kogge-Stone suffix sums W*K*log2(K), pairwise tree 2*W*K, Horner 256.
+    (Round 2's model omitted the K*log2(K) suffix term, mis-picking c=16
+    at 2^16 where the 32k-bucket reduction dominates.)
+    """
     best, best_cost = 4, None
     for c in (4, 8, 16):
         w = 256 // c
-        cost = w * (2.5 * n + 4 * (1 << (c - 1)))
+        k = 1 << (c - 1)
+        cost = 2.2 * w * n + 2 * w * k + w * k * max(1, math.ceil(math.log2(k))) + 2 * w * k
         if best_cost is None or cost < best_cost:
             best, best_cost = c, cost
     return best
@@ -78,7 +91,7 @@ def _recode_signed(scalars, c: int):
     n = scalars.shape[0]
     W = 256 // c
     per_limb = LIMB_BITS // c
-    carry = jnp.zeros((n,), jnp.uint32)
+    carry = jnp.zeros((n,), _U32)
     half = jnp.uint32(1 << (c - 1))
     full = jnp.uint32(1 << c)
     mask = jnp.uint32((1 << c) - 1)
@@ -89,25 +102,36 @@ def _recode_signed(scalars, c: int):
         neg = d > half
         abs_digits.append(jnp.where(neg, full - d, d))
         signs.append(neg)
-        carry = neg.astype(jnp.uint32)
+        carry = neg.astype(_U32)
     return jnp.stack(abs_digits), jnp.stack(signs)
 
 
 def _gather_pt(pt, idx):
-    return tuple(v[idx] for v in pt)
+    return tuple(v[:, idx] for v in pt)
 
 
 def _where_pt(mask, a, b):
-    m = mask[..., None]
+    m = mask[None]
     return tuple(jnp.where(m, x, y) for x, y in zip(a, b))
+
+
+def _quantize(width: int) -> int:
+    """Round a compaction width up to the Pallas tile (or a pow2 below it)
+    so every round reuses one of a handful of kernel widths."""
+    if width >= TILE:
+        return -(-width // TILE) * TILE
+    w = 128
+    while w < width:
+        w *= 2
+    return w
 
 
 def _compact_round(key, pt, l_next: int):
     """One compaction-tree round: pair rank-even elements with their right
     neighbour when keys match, then compact survivors to ``l_next`` slots.
 
-    ``key``: (L,) int32 sorted; ``pt``: Jacobian (L, N) triple. Padding slots
-    get key MAXKEY / value infinity (they merge harmlessly at the tail).
+    ``key``: (L,) int32 sorted; ``pt``: limb-major Jacobian (24, L) triple.
+    Padding slots get key MAXKEY / value infinity.
     """
     L = key.shape[0]
     pos = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
@@ -128,10 +152,10 @@ def _compact_round(key, pt, l_next: int):
 
     left = _gather_pt(pt, srcpos)
     right = _gather_pt(pt, jnp.clip(srcpos + 1, 0, L - 1))
-    merged = dc.point_add(left, right)
+    merged = point_add_px(left, right)
     take_merge = jnp.logical_and(has_partner[srcpos], valid)
     out = _where_pt(take_merge, merged, left)
-    out = _where_pt(valid, out, dc.infinity_like((l_next,)))
+    out = _where_pt(valid, out, lp.infinity_lm(FQ_CTX, l_next))
     new_key = jnp.where(valid, key[srcpos], _MAXKEY)
     return new_key, out
 
@@ -140,17 +164,19 @@ def _compaction_schedule(l0: int, max_segments: int) -> tuple[list[int], int]:
     """(shrinking sizes, fixed-size round count): survivors <= (L+#runs)/2,
     ceil(log2(l0)) total rounds guarantee every run reaches length 1. Once
     the size stops shrinking meaningfully (<= 2*max_segments) the remaining
-    rounds run at one fixed size under a single lax.scan."""
+    rounds run at one fixed size under a single lax.scan. Sizes are
+    tile-quantized so the Pallas add kernel compiles once per distinct width."""
     rounds = max(1, math.ceil(math.log2(max(2, l0))))
     sizes, L = [], l0
-    while L > 2 * max_segments and len(sizes) < rounds:
-        L = min(L, (L + max_segments + 1) // 2 + 1)
+    floor = _quantize(2 * max_segments)
+    while L > floor and len(sizes) < rounds:
+        L = _quantize(min(L, (L + max_segments + 1) // 2 + 1))
         sizes.append(L)
     return sizes, rounds - len(sizes)
 
 
 def _group_bucket_sums(points, abs_d, signs, nbuck: int):
-    """Dense (Wg, nbuck) Jacobian bucket table for a group of windows
+    """Dense (24, Wg, nbuck) limb-major bucket table for a group of windows
     (bucket 0 holds junk and is dropped by the reduction)."""
     Xp, Yp, Zp = points
     Wg, n = abs_d.shape
@@ -163,12 +189,13 @@ def _group_bucket_sums(points, abs_d, signs, nbuck: int):
     src = order % n
     sgn = signs.reshape(L0)[order]
 
-    X = Xp[src]
-    Z = Zp[src]
-    Y = Yp[src]
-    Y = jnp.where(sgn[:, None], fb.neg(FQ_CTX, Y), Y)
+    X = Xp[:, src]
+    Z = Zp[:, src]
+    Y = Yp[:, src]
+    y_neg = lm.sub(FQ_CTX, jnp.zeros_like(Y), Y)
+    Y = jnp.where(sgn[None], y_neg, Y)
     # digit 0 contributes nothing: mask those lanes to infinity
-    Z = jnp.where((skey % nbuck == 0)[:, None], jnp.zeros_like(Z), Z)
+    Z = jnp.where((skey % nbuck == 0)[None], jnp.zeros_like(Z), Z)
     pt = (X, Y, Z)
 
     max_segments = Wg * nbuck + 1  # +1 for the padding-sentinel run
@@ -191,49 +218,62 @@ def _group_bucket_sums(points, abs_d, signs, nbuck: int):
     all_key = jnp.concatenate([skey, dummy_key])
     order2 = jnp.argsort(all_key)
     skey2 = all_key[order2]
-    inf = dc.infinity_like((n_keys,))
-    pt2 = tuple(jnp.concatenate([a, b], axis=0)[order2] for a, b in zip(pt, inf))
-    _, dense = _compact_round(skey2, pt2, n_keys)
-    return tuple(v.reshape(Wg, nbuck, -1) for v in dense)
+    inf = lp.infinity_lm(FQ_CTX, n_keys)
+    pt2 = tuple(jnp.concatenate([a, b], axis=1)[:, order2] for a, b in zip(pt, inf))
+    _, dense = _compact_round(skey2, pt2, _quantize(n_keys))
+    return tuple(v[:, :n_keys].reshape(-1, Wg, nbuck) for v in dense)
 
 
 def _weighted_bucket_reduce(buckets):
-    """(W, NBUCK, N) bucket table -> (W, N) per-window sums sum_k k*B_k.
+    """(24, W, NBUCK) bucket table -> (24, W) per-window sums sum_k k*B_k.
 
-    Kogge-Stone suffix sums T_j = sum_{k>=j} B_k (log2(K) full-width adds),
-    then sum_{j>=1} T_j via a halving pairwise tree; bucket 0 is dropped.
+    Kogge-Stone suffix sums T_j = sum_{k>=j} B_k (log2(K) full-width adds at
+    ONE kernel width), then sum_{j>=1} T_j via a halving pairwise tree;
+    bucket 0 is dropped.
     """
-    vals = tuple(v[:, 1:] for v in buckets)  # k = 1 .. NBUCK-1
-    K = vals[0].shape[1]
+    vals = tuple(v[:, :, 1:] for v in buckets)  # k = 1 .. NBUCK-1
+    N, W, K = vals[0].shape
+
+    def flat_add(a, b):
+        out = point_add_px(
+            tuple(v.reshape(N, -1) for v in a),
+            tuple(v.reshape(N, -1) for v in b),
+        )
+        return tuple(v.reshape(a[0].shape) for v in out)
+
     d = 1
     while d < K:
-        inf = dc.infinity_like((vals[0].shape[0], d))
-        shifted = tuple(
-            jnp.concatenate([v[:, d:], pad], axis=1) for v, pad in zip(vals, inf)
+        inf = tuple(
+            v.reshape(N, W, -1)
+            for v in lp.infinity_lm(FQ_CTX, W * d)
         )
-        vals = dc.point_add(vals, shifted)
+        shifted = tuple(
+            jnp.concatenate([v[:, :, d:], pad], axis=2)
+            for v, pad in zip(vals, inf)
+        )
+        vals = flat_add(vals, shifted)
         d *= 2
     k = K
     while k > 1:
         half = k // 2
-        lo = tuple(v[:, :half] for v in vals)
-        hi = tuple(v[:, half : 2 * half] for v in vals)
-        red = dc.point_add(lo, hi)
+        lo = tuple(v[:, :, :half] for v in vals)
+        hi = tuple(v[:, :, half: 2 * half] for v in vals)
+        red = flat_add(lo, hi)
         if k % 2:
             red = tuple(
-                jnp.concatenate([r, v[:, 2 * half :]], axis=1)
+                jnp.concatenate([r, v[:, :, 2 * half:]], axis=2)
                 for r, v in zip(red, vals)
             )
         vals = red
-        k = vals[0].shape[1]
-    return tuple(v[:, 0] for v in vals)
+        k = vals[0].shape[2]
+    return tuple(v[:, :, 0] for v in vals)
 
 
 def _pick_window_group(n: int, num_windows: int) -> int:
-    """Windows per sort pass (must divide W), capping sort+gather peak
-    memory at ~1.5 GB."""
-    budget = int(1.5e9)
-    per_window = max(1, n) * 288  # 3 coords * 24 limbs * 4 B
+    """Windows per sort pass (must divide W), capping the sort+gather peak
+    memory (~4 live limb-major copies at 288 B/entry) at ~4 GB."""
+    budget = int(4e9)
+    per_window = max(1, n) * 288 * 4
     cap = max(1, budget // per_window)
     wg = num_windows
     while wg > cap:
@@ -258,35 +298,48 @@ def _msm_impl(points, scalars, c: int, window_group: int):
             return None, _group_bucket_sums(points, a, s, nbuck)
 
         _, stacked = jax.lax.scan(body, None, (abs_g, sgn_g))
-        buckets = tuple(v.reshape(num_windows, nbuck, -1) for v in stacked)
+        # (G, 24, Wg, nbuck) -> (24, W, nbuck)
+        buckets = tuple(
+            jnp.moveaxis(v, 0, 1).reshape(-1, num_windows, nbuck) for v in stacked
+        )
 
-    per_window = _weighted_bucket_reduce(buckets)
+    per_window = _weighted_bucket_reduce(buckets)  # (24, W)
 
     # Horner over windows: acc = ((R_{W-1} * 2^c + R_{W-2}) * 2^c + ...)
-    acc0 = tuple(v[num_windows - 1] for v in per_window)
+    acc0 = tuple(v[:, num_windows - 1: num_windows] for v in per_window)
 
     def horner(i, acc):
         w = num_windows - 2 - i
-        acc = jax.lax.fori_loop(0, c, lambda _, a: dc.point_double(a), acc)
+        acc = jax.lax.fori_loop(0, c, lambda _, a: point_double_px(a), acc)
         pw = tuple(
-            jax.lax.dynamic_index_in_dim(v, w, axis=0, keepdims=False)
-            for v in per_window
+            jax.lax.dynamic_slice_in_dim(v, w, 1, axis=1) for v in per_window
         )
-        return dc.point_add(acc, pw)
+        return point_add_px(acc, pw)
 
-    return jax.lax.fori_loop(0, num_windows - 1, horner, acc0)
+    out = jax.lax.fori_loop(0, num_windows - 1, horner, acc0)
+    return tuple(v[:, 0] for v in out)
 
 
 def msm_pippenger(points, scalars, c: int | None = None):
-    """MSM over Jacobian limb points ((n, 24) triple) and canonical (n, 16)
-    Fr scalars; returns a single Jacobian point triple ((24,) arrays).
+    """MSM over Jacobian limb points ((n, 24) lanes-last triple, the
+    ``device.pack_points`` layout) and canonical (n, 16) Fr scalars; returns
+    a single Jacobian point as a lanes-last ((24,) arrays) triple.
 
     ``c``: window bit-width (4, 8 or 16); picked by input size when None.
     """
+    from ..curve.pallas_point import pallas_points_available
+
     n = scalars.shape[0]
     if c is None:
         c = pick_window_bits(n)
-    return _msm_impl(points, scalars, c, _pick_window_group(n, 256 // c))
+    pts_lm = lp.to_lm(points)
+    wg = _pick_window_group(n, 256 // c)
+    if pallas_points_available():
+        return _msm_impl(pts_lm, scalars, c, wg)
+    # CPU/test path: run eagerly so each point-op width compiles once (via
+    # the jitted loop-CIOS fallbacks) instead of inlining ~12 call sites
+    # into one giant XLA program
+    return _msm_impl.__wrapped__(pts_lm, scalars, c, wg)
 
 
 def msm_pippenger_host(affine_points, scalar_ints, c: int | None = None):

@@ -344,7 +344,9 @@ def msm_pippenger_sharded(mesh: Mesh, points, scalars, c: int | None = None):
         out_specs=P(),
     )
     def run(pts, sc):
-        local = pp._msm_impl.__wrapped__(pts, sc, c, wg)
+        from ..curve import lm_point as lp
+
+        local = pp._msm_impl.__wrapped__(lp.to_lm(pts), sc, c, wg)
         gathered = tuple(
             jax.lax.all_gather(v, AXIS) for v in local
         )  # (D, 24) each
