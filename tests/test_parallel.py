@@ -87,3 +87,72 @@ def test_sharded_point_tree_sum(mesh):
     acc = pm.point_tree_sum_sharded(mesh, dc.pack_points(pts_host))
     got = dc.unpack_points(tuple(t[None] for t in acc))[0]
     assert got == hc.multiply(hc.G1_GEN, sum(range(1, 17)))
+
+
+def test_sharded_lazy_gkr_sumcheck_matches_dense(mesh):
+    """gkr_sumcheck_lazy_sharded must emit the exact round polynomials and
+    challenges of the single-device lazy prover (zktpu/gkr/lazy.py)."""
+    from zktpu.gkr import lazy as lazy_mod
+    from zktpu.gkr.circuit import Layer, ADD, MUL
+    from zktpu.transcript import Transcript
+
+    ctx = fb.get_ctx(BLS12_381_FR)
+    rng = np.random.default_rng(3)
+    n_gates = 16
+    ops = [ADD if rng.integers(2) else MUL for _ in range(n_gates)]
+    layer = Layer(ops)
+    w_vals = [int(v) for v in rng.integers(0, 1 << 60, size=2 * n_gates)]
+    w = MultilinearPoly.from_ints(ctx, w_vals)
+    r_b = [int(v) for v in rng.integers(1, 1 << 60, size=4)]
+    r_c = [int(v) for v in rng.integers(1, 1 << 60, size=4)]
+    alpha, beta = 12345, 67890
+
+    fbc = lazy_mod.lazy_folded_fbc(ctx, layer, w, r_b, r_c, alpha, beta)
+    t_dense = Transcript(BLS12_381_FR)
+    dense = lazy_mod.gkr_prove_lazy(777, fbc, t_dense)
+
+    fbc2 = lazy_mod.lazy_folded_fbc(ctx, layer, w, r_b, r_c, alpha, beta)
+    t_shard = Transcript(BLS12_381_FR)
+    sharded = pm.gkr_sumcheck_lazy_sharded(777, fbc2, t_shard, mesh)
+
+    assert [p.coefficients for p in dense.proof_polynomials] == \
+        [p.coefficients for p in sharded.proof_polynomials]
+    assert dense.random_challenges == sharded.random_challenges
+    assert t_dense.get_random_challenge() == t_shard.get_random_challenge()
+
+
+def test_sharded_pippenger_matches_host(mesh):
+    from zktpu.curve import bls12_381 as hc
+    from zktpu.curve import device as dc
+
+    rng = np.random.default_rng(5)
+    n = 64  # 8 points per device
+    base = [hc.multiply(hc.G1_GEN, int(k)) for k in rng.integers(1, 1 << 30, size=8)]
+    pts_host = [base[i % 8] for i in range(n)]
+    scalars = [int(a) * int(b) % hc.R_ORDER
+               for a, b in rng.integers(1, 1 << 62, size=(n, 2))]
+    expect = None
+    for p, s in zip(pts_host, scalars):
+        t = hc.multiply(p, s)
+        expect = t if expect is None else hc.add(expect, t)
+
+    pts = dc.pack_points(pts_host)
+    sc_packed = dc.pack_scalars(scalars)
+    acc = pm.msm_pippenger_sharded(mesh, pts, sc_packed, c=4)
+    got = dc.unpack_points(tuple(t[None] for t in acc))[0]
+    assert got == expect
+
+
+def test_sharded_ladder_msm_matches_host(mesh):
+    from zktpu.curve import bls12_381 as hc
+    from zktpu.curve import device as dc
+
+    pts_host = [hc.multiply(hc.G1_GEN, k) for k in range(1, 17)]
+    scalars = list(range(3, 19))
+    expect = None
+    for p, s in zip(pts_host, scalars):
+        t = hc.multiply(p, s)
+        expect = t if expect is None else hc.add(expect, t)
+    acc = pm.msm_sharded(mesh, dc.pack_points(pts_host), dc.pack_scalars(scalars))
+    got = dc.unpack_points(tuple(t[None] for t in acc))[0]
+    assert got == expect

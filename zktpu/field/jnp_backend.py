@@ -267,8 +267,11 @@ def _mont_mul_impl(ctx: FieldCtx, a, b):
             axis=-1,
         )
 
-    # t has n+1 lanes: lane n catches the top product halves / shift carries
-    t = jnp.zeros(shape + (n + 1,), dtype=_U32)
+    # t has n+1 lanes: lane n catches the top product halves / shift carries.
+    # Derived from the operands (a & 0) rather than a literal zeros so that
+    # under shard_map the carry init has the operands' varying manual axes
+    # (lax.fori_loop rejects an unvarying carry with a varying body output).
+    t = jnp.broadcast_to((a[..., :1] | b[..., :1]) & _U32(0), shape + (n + 1,))
     if n <= UNROLL_LIMB_LIMIT:
         for i in range(n):
             t = iteration(t, a[..., i])

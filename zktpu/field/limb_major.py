@@ -174,7 +174,11 @@ def mont_mul_loop(ctx, a, b, p_col=None):
             [t[1:2] + carry0[None], t[2:], jnp.zeros((1,) + shape, _U32)], axis=0
         )
 
-    t = jax.lax.fori_loop(0, n, body, jnp.zeros((n + 1,) + shape, dtype=_U32))
+    # derive the carry init from the inputs (a & 0) so that under shard_map
+    # it carries the operands' varying manual axes -- a literal jnp.zeros is
+    # unvarying and lax.fori_loop rejects the carry-type mismatch
+    zero = jnp.broadcast_to((a[:1] | b[:1]) & _U32(0), (n + 1,) + shape)
+    t = jax.lax.fori_loop(0, n, body, zero)
     t = ripple(t, ctx.num_limbs * (1 << 18) + (1 << 17))
     return _cond_sub_p(ctx, t[:n], t[n] > 0, p_col)
 

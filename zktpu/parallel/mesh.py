@@ -324,7 +324,7 @@ def msm_pippenger_sharded(mesh: Mesh, points, scalars, c: int | None = None):
     log(D) point tree). Exact same group element as the single-chip MSM."""
     from functools import partial
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..curve import device as dc
     from ..msm import pippenger as pp
@@ -342,6 +342,9 @@ def msm_pippenger_sharded(mesh: Mesh, points, scalars, c: int | None = None):
         mesh=mesh,
         in_specs=((P(AXIS, None),) * 3, P(AXIS, None)),
         out_specs=P(),
+        # the all_gather + identical tree-sum leaves every device with the
+        # same point; the varying-axis checker cannot infer that
+        check_vma=False,
     )
     def run(pts, sc):
         from ..curve import lm_point as lp
