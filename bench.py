@@ -6,20 +6,23 @@ CI). Prints exactly ONE JSON line to stdout:
 
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-plus a detailed breakdown to stderr.
+plus a detailed breakdown (criterion-parity micro-benches, MSM/NTT/GKR scale
+points, per-kernel rooflines) to stderr.
 
 Primary metric: wall time of sumcheck prove+verify on a 2^20-entry BN254 MLE
 -- the reference's flagship scale test
 (/root/reference/sum_check/src/sum_check_protocol.rs:193-204). The reference
-publishes no numbers (BASELINE.md), so the baseline is the single-core Rust
-estimate derived in BENCH_NOTES.md (field-op counts x arkworks per-op costs +
-Keccak absorption): ~0.45 s. vs_baseline = baseline / measured (>1 = faster
-than the reference estimate).
+publishes no numbers (BASELINE.md), so baselines are analytic single-core
+estimates derived from exact op counts (BENCH_NOTES.md): sumcheck 2^20 ~0.45s;
+the naive per-point MSM of kzg.rs:131-144 ~1e4 pts/s; the reference cannot
+run GKR at 2^20 gates at all (its dense wiring table would hold 2^62 entries).
+vs_baseline = baseline / measured (>1 = faster than the reference estimate).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -35,6 +38,10 @@ import jax.numpy as jnp
 import numpy as np
 
 RUST_SUMCHECK_2E20_BASELINE_S = 0.45  # see BENCH_NOTES.md
+#: reference naive MSM (kzg.rs:131-144): ~383 group ops/scalar x ~250ns/op
+RUST_NAIVE_MSM_PTS_S = 1.0e4
+
+FULL = os.environ.get("ZKTPU_BENCH_FULL") == "1"  # 2^20 MSM / 2^18 GKR
 
 
 def log(msg: str) -> None:
@@ -86,6 +93,7 @@ def bench_fold_throughput(n_vars: int = 20, iters: int = 10):
     from zktpu.field.spec import BN254_FQ
     from zktpu.field import jnp_backend as fb
     from zktpu.sumcheck.protocol import fold_tables_kernel
+    from zktpu.utils import roofline
 
     ctx = fb.get_ctx(BN254_FQ)
     rng = np.random.default_rng(0)
@@ -96,41 +104,41 @@ def bench_fold_throughput(n_vars: int = 20, iters: int = 10):
     from zktpu.field import pallas_kernels as pk
 
     fold = pk.fold_pallas if pk.pallas_available(table.shape[0]) else fold_tables_kernel
-    jax.device_get(fold(ctx, table, value)[0])  # compile + settle
-    t0 = time.time()
-    out = table
-    for _ in range(iters):
-        out = fold(ctx, table, value)
-    jax.device_get(out[0])  # forced sync (tunnel ~30ms, amortized below)
-    dt = (time.time() - t0) / iters
-    eps = (1 << (n_vars - 1)) / dt
-    log(f"  MLE fold 2^{n_vars}: {dt*1e3:.2f} ms -> {eps/1e6:.1f}M lerp-ops/s")
-    return eps
+    b, ops = roofline.fold_cost(1 << n_vars, ctx.num_limbs)
+    prof = roofline.measure(
+        f"MLE fold 2^{n_vars}", fold, ctx, table, value,
+        bytes_accessed=b, lane_ops=ops, iters=iters,
+    )
+    log("  " + prof.line())
+    return (1 << (n_vars - 1)) / prof.seconds
 
 
 def bench_ntt(n_vars: int = 20):
     from zktpu.field.spec import BN254_FR
     from zktpu.field import jnp_backend as fb
     from zktpu.ntt.ntt import ntt
+    from zktpu.utils import roofline
 
     ctx = fb.get_ctx(BN254_FR)
     rng = np.random.default_rng(0)
     table = jnp.asarray(
         rng.integers(0, 1 << 16, size=(1 << n_vars, ctx.num_limbs), dtype=np.uint32)
     )
-    jax.device_get(ntt(ctx, table)[0])  # compile + settle
-    t0 = time.time()
-    out = ntt(ctx, table)
-    jax.device_get(out[0])  # forced sync
-    dt = time.time() - t0
-    log(f"  NTT 2^{n_vars}: {dt*1e3:.1f} ms")
-    return dt
+    b, ops = roofline.ntt_cost(1 << n_vars, ctx.num_limbs)
+    prof = roofline.measure(
+        f"NTT 2^{n_vars}", ntt, ctx, table,
+        bytes_accessed=b, lane_ops=ops, iters=3,
+    )
+    log("  " + prof.line())
+    return prof.seconds
 
 
-def bench_msm(n_points_log: int = 12):
+def bench_msm(n_points_log: int = 16):
+    """Pippenger MSM (zktpu/msm/pippenger.py) vs the reference's naive
+    per-point loop (kzg.rs:131-144, ~1e4 pts/s single-core estimate)."""
     from zktpu.curve import bls12_381 as hc
     from zktpu.curve import device as dc
-    from zktpu.msm import msm_bitsplit
+    from zktpu.msm.pippenger import msm_pippenger, pick_window_bits
 
     n = 1 << n_points_log
     rng = np.random.default_rng(0)
@@ -143,13 +151,107 @@ def bench_msm(n_points_log: int = 12):
 
     pts = dc.pack_points(pts_host)
     sc = dc.pack_scalars(scalars)
-    jax.device_get(msm_bitsplit(pts, sc)[0])  # compile + settle
+    c = pick_window_bits(n)
     t0 = time.time()
-    out = msm_bitsplit(pts, sc)
+    jax.device_get(msm_pippenger(pts, sc)[0])  # compile + settle
+    log(f"  MSM 2^{n_points_log} warmup (compile): {time.time()-t0:.1f}s")
+    t0 = time.time()
+    out = msm_pippenger(pts, sc)
     jax.device_get(out[0])  # forced sync
     dt = time.time() - t0
-    log(f"  MSM 2^{n_points_log} (bit-split): {dt:.2f} s -> {n/dt:.0f} pts/s")
-    return n / dt
+    pts_s = n / dt
+    log(f"  MSM 2^{n_points_log} (Pippenger c={c}): {dt:.2f} s -> "
+        f"{pts_s:.0f} pts/s ({pts_s/RUST_NAIVE_MSM_PTS_S:.1f}x ref naive loop)")
+    return pts_s
+
+
+def bench_gkr(input_log: int = 12):
+    """End-to-end GKR prove+verify on a 2^input_log-input halving circuit
+    (lazy O(|w|) prover; the reference's dense wiring tables cap out around
+    2^4 inputs -- gkr_protocol.rs:473-506 tests a 8-input circuit)."""
+    from zktpu.field.spec import BLS12_381_FR
+    from zktpu.field import jnp_backend as fb
+    from zktpu.gkr.circuit import Circuit, ADD, MUL
+    from zktpu.gkr import protocol as gkr
+
+    ctx = fb.get_ctx(BLS12_381_FR)
+    rng = np.random.default_rng(7)
+    structure = []
+    n = 1 << (input_log - 1)
+    total_gates = 0
+    while n >= 1:
+        structure.append([ADD if rng.integers(2) else MUL for _ in range(n)])
+        total_gates += n
+        n //= 2
+    circuit = Circuit(ctx, structure)
+    inputs = [int(v) for v in rng.integers(0, 1 << 61, size=1 << input_log)]
+    taus = [int(t) for t in rng.integers(2, 1 << 60, size=input_log)]
+
+    t0 = time.time()
+    proof = gkr.prove(circuit, inputs, taus=taus)
+    t_prove = time.time() - t0
+    t0 = time.time()
+    ok = gkr.verify(proof, circuit)
+    t_verify = time.time() - t0
+    assert ok, "GKR round-trip failed"
+    log(f"  GKR 2^{input_log}-input ({total_gates} gates) prove: {t_prove:.2f}s"
+        f"  verify: {t_verify:.2f}s  (reference: infeasible beyond toy sizes)")
+    return t_prove, t_verify
+
+
+def bench_micro():
+    """Criterion-parity micro-benches (reference component #14):
+    MLE evaluate 10 vars (multilinear_poly_benchmark.rs:5-31), univariate
+    evaluate 100 coeffs / interpolate 10 pts (univariate_poly_benchmark.rs:
+    8-46), sumcheck prove/verify on a 3-var poly (sum_check_benchmark.rs:9-62).
+    """
+    from zktpu.field.spec import BN254_FQ
+    from zktpu.field import jnp_backend as fb
+    from zktpu.poly.multilinear import MultilinearPoly
+    from zktpu.poly.univariate import UnivariatePoly
+    from zktpu.sumcheck import protocol as sc
+
+    ctx = fb.get_ctx(BN254_FQ)
+    rng = np.random.default_rng(1)
+
+    # MLE evaluate, 10 vars
+    poly10 = MultilinearPoly.from_ints(
+        ctx, [int(v) for v in rng.integers(0, 1 << 60, size=1 << 10)]
+    )
+    point = [int(v) for v in rng.integers(1, 1 << 60, size=10)]
+    poly10.evaluate_int(point)  # warm
+    t0 = time.time()
+    iters = 10
+    for _ in range(iters):
+        poly10.evaluate_int(point)
+    log(f"  MLE evaluate (10 vars): {(time.time()-t0)/iters*1e3:.2f} ms")
+
+    # univariate evaluate (100 coeffs) / interpolate (10 points) -- host path
+    coeffs = [int(v) for v in rng.integers(0, 1 << 60, size=100)]
+    up = UnivariatePoly(BN254_FQ, coeffs)
+    t0 = time.time()
+    for _ in range(100):
+        up.evaluate(987654321)
+    log(f"  univariate evaluate (100 coeffs): {(time.time()-t0)/100*1e6:.1f} us")
+
+    pts = [(int(x), int(y)) for x, y in
+           zip(range(1, 11), rng.integers(0, 1 << 60, size=10))]
+    t0 = time.time()
+    for _ in range(20):
+        UnivariatePoly.interpolate(BN254_FQ, pts)
+    log(f"  univariate interpolate (10 pts): {(time.time()-t0)/20*1e3:.2f} ms")
+
+    # sumcheck prove/verify, 3-var poly
+    poly3 = MultilinearPoly.from_ints(ctx, [1, 2, 3, 4, 5, 6, 7, 8])
+    proof = sc.prove(poly3)  # warm
+    t0 = time.time()
+    for _ in range(5):
+        proof = sc.prove(poly3)
+    log(f"  sumcheck prove (3 vars): {(time.time()-t0)/5*1e3:.1f} ms")
+    t0 = time.time()
+    for _ in range(5):
+        sc.verify(poly3, proof)
+    log(f"  sumcheck verify (3 vars): {(time.time()-t0)/5*1e3:.1f} ms")
 
 
 def main() -> None:
@@ -157,10 +259,15 @@ def main() -> None:
     # transfer warm-up (the axon tunnel has a one-time handshake cost)
     jax.device_get(jnp.zeros(8))
 
+    tpu = jax.default_backend() == "tpu"
     t_prove, t_verify = bench_sumcheck(20)
     bench_fold_throughput(20)
     bench_ntt(20)
-    bench_msm(12)
+    if tpu:
+        bench_ntt(22)
+    bench_msm((20 if FULL else 16) if tpu else 10)
+    bench_gkr((18 if FULL else 12) if tpu else 6)
+    bench_micro()
 
     total = t_prove + t_verify
     print(

@@ -22,3 +22,17 @@ jax.config.update("jax_num_cpu_devices", 8)
 # and identical across test processes
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_zktpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA:CPU segfaults on large compiles late in a long-lived process
+    (observed repeatedly ~60 tests in, each run crashing on the next big
+    not-yet-disk-cached program). Dropping the in-process executable caches
+    between modules keeps the live-executable footprint bounded; the
+    persistent disk cache makes reloads cheap."""
+    yield
+    jax.clear_caches()

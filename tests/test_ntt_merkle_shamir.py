@@ -172,3 +172,23 @@ def test_shamir_too_few_shares():
 
 def test_fibonacci_check():
     assert fibonacci_check()
+
+
+def test_ntt_lm_matches_dense():
+    import numpy as np
+    """Limb-major four-step NTT (zktpu/ntt/ntt_lm.py) must be bit-identical
+    to the dense stage ladder, including the recursive split (size > 2^11)
+    and the inverse transform."""
+    import jax.numpy as jnp
+    from zktpu.ntt import ntt_lm as nl
+    from zktpu.ntt.ntt import _ntt_kernel
+
+    ctx = fb.get_ctx(BN254_FR)
+    rng = np.random.default_rng(23)
+    for logn in (6, 12):
+        vals = [int(v) for v in rng.integers(0, 1 << 40, size=1 << logn)]
+        table = fb.to_mont(ctx, jnp.asarray(ctx.pack(vals)))
+        for inv in (False, True):
+            dense = np.asarray(_ntt_kernel(ctx, table, logn, inv))
+            got = np.asarray(nl.ntt_lm(ctx, table, inv))
+            assert (dense == got).all(), (logn, inv)

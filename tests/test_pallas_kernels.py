@@ -6,13 +6,21 @@ driver's entry check). Values must match the jnp backend bit-for-bit -- the
 jnp backend itself is pinned to arkworks vectors in test_field_backend.py.
 """
 
-import os
-
-os.environ["ZKTPU_PALLAS_INTERPRET"] = "1"
-
 import numpy as np
 import jax.numpy as jnp
 import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _interpret_mode():
+    """Interpret-mode only for THIS module. A module-level os.environ
+    assignment executes at pytest collection time and leaks into every other
+    test file, sending the whole CPU suite down the TPU-only jit paths (the
+    unrolled point-op programs then segfault XLA:CPU)."""
+    mp = pytest.MonkeyPatch()
+    mp.setenv("ZKTPU_PALLAS_INTERPRET", "1")
+    yield
+    mp.undo()
 
 from zktpu.field.spec import BLS12_381_FR, BN254_FQ
 from zktpu.field import jnp_backend as fb
@@ -116,3 +124,26 @@ def test_lazy_sum_headroom():
     rows = np.asarray(lm.lazy_sum(x, 2))
     total = sum(int(v) << (16 * i) for i, v in enumerate(rows[:, 0]))
     assert total == (2**256 - 1) * (1 << 16)
+
+
+def test_point_add_px_edge_cases():
+    """The Pallas add kernel's predicated-doubling fix must match the
+    branchless host path on a batch mixing: distinct adds, P + P (doubling),
+    P + (-P), P + inf, inf + P, inf + inf."""
+    from zktpu.curve import bls12_381 as hc
+    from zktpu.curve import device as dc
+    from zktpu.curve import lm_point as lp
+    from zktpu.curve.pallas_point import point_add_px
+
+    g = hc.G1_GEN
+    p2 = hc.multiply(g, 2)
+    p3 = hc.multiply(g, 3)
+    lhs_host = [g, p3, p3, g, None, None]
+    rhs_host = [p2, p3, hc.neg(p3), None, g, None]
+    expect = [hc.add(a, b) for a, b in zip(lhs_host, rhs_host)]
+
+    lhs = lp.to_lm(dc.pack_points(lhs_host))
+    rhs = lp.to_lm(dc.pack_points(rhs_host))
+    out = point_add_px(lhs, rhs)
+    got = dc.unpack_points(lp.from_lm(out))
+    assert got == expect

@@ -69,9 +69,13 @@ def point_double_lm(ctx, pt, p_col=None, unroll: bool = True):
     return (X3, Y3, Z3)
 
 
-def point_add_lm(ctx, p1, p2, p_col=None, unroll: bool = True):
-    """add-2007-bl with branchless infinity/doubling handling (identical
-    select logic to ``device.point_add``)."""
+def point_add_parts(ctx, p1, p2, p_col=None, unroll: bool = True):
+    """add-2007-bl core: returns (added, is_double, p1_inf, p2_inf) WITHOUT
+    computing the doubling path. ``added`` is garbage on lanes where
+    ``is_double`` holds (H == r == 0) -- the caller patches those, either
+    branchlessly (``point_add_lm``) or predicated on ``any(is_double)``
+    (``pallas_point``: a real doubling inside an MSM batch is rare, and the
+    unconditional double costs ~10 extra CIOS muls per lane)."""
     X1, Y1, Z1 = p1
     X2, Y2, Z2 = p2
     mul_impl = lm.mont_mul if unroll else lm.mont_mul_loop
@@ -104,7 +108,13 @@ def point_add_lm(ctx, p1, p2, p_col=None, unroll: bool = True):
     r_zero = is_zero_lm(rr)
     both = jnp.logical_and(jnp.logical_not(p1_inf), jnp.logical_not(p2_inf))
     is_double = jnp.logical_and(both, jnp.logical_and(h_zero, r_zero))
+    return added, is_double, p1_inf, p2_inf
 
+
+def point_add_lm(ctx, p1, p2, p_col=None, unroll: bool = True):
+    """add-2007-bl with branchless infinity/doubling handling (identical
+    select logic to ``device.point_add``)."""
+    added, is_double, p1_inf, p2_inf = point_add_parts(ctx, p1, p2, p_col, unroll)
     doubled = point_double_lm(ctx, p1, p_col, unroll)
 
     out = where_pt(is_double, doubled, added)

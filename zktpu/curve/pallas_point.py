@@ -83,13 +83,24 @@ def _add_impl(px, x1, y1, z1, x2, y2, z2):
 
     def kernel(p_ref, x1r, y1r, z1r, x2r, y2r, z2r, oxr, oyr, ozr):
         pc = p_ref[...]
-        out = lp.point_add_lm(
-            ctx,
-            (x1r[...], y1r[...], z1r[...]),
-            (x2r[...], y2r[...], z2r[...]),
-            pc,
-        )
+        p1 = (x1r[...], y1r[...], z1r[...])
+        p2 = (x2r[...], y2r[...], z2r[...])
+        added, is_double, p1_inf, p2_inf = lp.point_add_parts(ctx, p1, p2, pc)
+        out = lp.where_pt(p1_inf, p2, added)
+        out = lp.where_pt(p2_inf, p1, out)
         oxr[...], oyr[...], ozr[...] = out
+
+        # real doublings (same point added to itself) are rare inside an MSM
+        # batch; pay the ~10 extra CIOS muls only on tiles that contain one.
+        # is_double excludes infinity lanes, so the fix never overlaps the
+        # infinity selects above.
+        @pl.when(jnp.any(is_double))
+        def _():
+            doubled = lp.point_double_lm(ctx, p1, pc)
+            m = is_double[None]
+            oxr[...] = jnp.where(m, doubled[0], oxr[...])
+            oyr[...] = jnp.where(m, doubled[1], oyr[...])
+            ozr[...] = jnp.where(m, doubled[2], ozr[...])
 
     shape = jax.ShapeDtypeStruct((n, width), _U32)
     return pl.pallas_call(

@@ -109,19 +109,32 @@ def _stage_pass(ctx: FieldCtx, x, tw):
     return jnp.stack([hi, lo], axis=2).reshape(x.shape)
 
 
-def _direct_ntt_axis1(ctx: FieldCtx, x, inverse: bool, root_order: int):
-    """Bitrev + stage ladder along axis 1 of (L, R, C...), R <= _DIRECT_MAX.
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def _direct_ladder_jit(ctx: FieldCtx, x, inverse: bool, log_r: int):
+    """Bitrev + full stage ladder along axis 1 as ONE program, with an
+    ``optimization_barrier`` between stages.
 
-    ``root_order``: the NTT length whose two-adic root generates the stage
-    twiddles (equals R here; kept explicit so recursion levels agree)."""
-    spec = ctx.spec
-    r = x.shape[1]
-    log_r = r.bit_length() - 1
+    Program-granularity notes (measured on v5e at 2^20):
+      * one jit per STAGE: 1.8 s (per-stage HBM round trips + dispatch);
+      * one jit per LADDER without barriers: XLA mega-fuses the strided u/v
+        slices across stages and recomputes upstream butterflies (~200x);
+      * one jit per LADDER with barriers: 0.41 s -- the shipped shape.
+    The ladder is capped at _DIRECT_MAX rows so its program stays under the
+    axon remote-compile size limit; larger transforms recurse four-step
+    EAGERLY (see ``_ntt_axis1``), so every compiled unit stays ladder-sized.
+    """
     x = jnp.take(x, jnp.asarray(_bitrev_perm(log_r)), axis=1)
-    tws = _twiddles_lm(spec, log_r, inverse)
+    tws = _twiddles_lm(ctx.spec, log_r, inverse)
     for s in range(1, log_r + 1):
-        x = _stage_pass(ctx, x, tws[s - 1])
+        x = jax.lax.optimization_barrier(
+            _stage_pass(ctx, x, jnp.asarray(tws[s - 1]))
+        )
     return x
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _twiddle_mul(ctx: FieldCtx, tw, x):
+    return lm.mont_mul(ctx, tw, x)
 
 
 def _ntt_axis1(ctx: FieldCtx, x, inverse: bool):
@@ -130,10 +143,12 @@ def _ntt_axis1(ctx: FieldCtx, x, inverse: bool):
     Four-step index math mirrors the (tested) ``ntt_sharded`` decomposition
     in zktpu/parallel/mesh.py: A[m1, m2] = x[r1*m2 + m1]; DFT over m2 with
     root w^r1; twiddle w^(m1*k2); DFT over m1; X[k1*r2 + k2] = D[k1, k2].
+    The recursion itself is eager -- only ladders and the twiddle pass are
+    compiled units.
     """
     r = x.shape[1]
     if r <= _DIRECT_MAX:
-        return _direct_ntt_axis1(ctx, x, inverse, r)
+        return _direct_ladder_jit(ctx, x, inverse, r.bit_length() - 1)
     log_r = r.bit_length() - 1
     r1 = 1 << (log_r // 2)
     r2 = r // r1
@@ -144,15 +159,12 @@ def _ntt_axis1(ctx: FieldCtx, x, inverse: bool):
     a = x.reshape(L, r2, r1, *rest)
     b = _ntt_axis1(ctx, a, inverse)                     # b[k2, m1]
     tw = _fourstep_twiddle(ctx.spec, r2, r1, inverse)   # tw[k2, m1] = w^(m1*k2)
-    c = lm.mont_mul(ctx, tw.reshape(L, r2, r1, *([1] * len(rest))), b)
+    c = _twiddle_mul(
+        ctx, jnp.asarray(tw).reshape(L, r2, r1, *([1] * len(rest))), b
+    )
     ct = jnp.swapaxes(c, 1, 2)                          # (L, m1, k2, ...)
     d = _ntt_axis1(ctx, ct, inverse)                    # d[k1, k2]
     return d.reshape(L, r, *rest)                       # X[k1*r2 + k2]
-
-
-@functools.partial(jax.jit, static_argnums=(0, 2))
-def _ntt_lm_impl(ctx: FieldCtx, x, inverse: bool):
-    return _ntt_axis1(ctx, x[:, :, None], inverse)[:, :, 0]
 
 
 def ntt_lm(ctx: FieldCtx, table, inverse: bool = False):
@@ -160,5 +172,5 @@ def ntt_lm(ctx: FieldCtx, table, inverse: bool = False):
     engine; returns lanes-last, values identical to ``zktpu.ntt.ntt.ntt``
     (without the final iNTT 1/n scale, which the caller applies)."""
     x = jnp.swapaxes(table, 0, 1)
-    out = _ntt_lm_impl(ctx, x, inverse)
+    out = _ntt_axis1(ctx, x[:, :, None], inverse)[:, :, 0]
     return jnp.swapaxes(out, 0, 1)

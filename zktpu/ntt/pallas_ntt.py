@@ -68,38 +68,47 @@ def _stage_twiddles_np(spec: FieldSpec, log_n: int, inverse: bool):
 
 
 @functools.lru_cache(maxsize=None)
+def _stage_twiddles_mont_np(spec: FieldSpec, log_n: int, inverse: bool):
+    """Montgomery-domain stage twiddles as host ints (value * R mod p):
+    pure numpy so jit tracing never captures (or worse, caches) tracers."""
+    p = spec.modulus
+    R = spec.R % p
+    stages = _stage_twiddles_np(spec, log_n, inverse)
+    return [[t * R % p for t in s] for s in stages]
+
+
+@functools.lru_cache(maxsize=None)
 def _phase1_twiddles(ctx: FieldCtx, log_n: int, inverse: bool, log_tile: int):
     """Stages 1..log_tile concatenated into one (TILE-1 padded, N) Montgomery
-    array; stage s starts at offset 2^(s-1) - 1."""
-    spec = ctx.spec
-    stages = _stage_twiddles_np(spec, log_n, inverse)
+    array; stage s starts at offset 2^(s-1) - 1. Host numpy -- passed to the
+    kernel as an ARGUMENT, never embedded as a traced constant."""
+    stages = _stage_twiddles_mont_np(ctx.spec, log_n, inverse)
     flat = []
     for s in range(1, log_tile + 1):
         flat.extend(stages[s - 1])
     arr = ctx.pack(flat)
     # pad to a tile-aligned sublane count
     pad = (-len(flat)) % 8 or 8
-    arr = np.concatenate([arr, np.zeros((pad, ctx.num_limbs), np.uint32)], axis=0)
-    return fb.to_mont(ctx, jnp.asarray(arr))
+    return np.concatenate(
+        [arr, np.zeros((pad, ctx.num_limbs), np.uint32)], axis=0
+    )
 
 
 @functools.lru_cache(maxsize=None)
 def _phase2_twiddles(ctx: FieldCtx, log_n: int, inverse: bool, stage: int, tile: int):
-    """Stage twiddles tiled up to at least one tile: (max(m/2, tile), N)."""
-    spec = ctx.spec
-    tws = _stage_twiddles_np(spec, log_n, inverse)[stage - 1]
+    """Stage twiddles tiled up to at least one tile: (max(m/2, tile), N);
+    host numpy (see _phase1_twiddles)."""
+    tws = _stage_twiddles_mont_np(ctx.spec, log_n, inverse)[stage - 1]
     reps = max(1, tile // len(tws))
-    arr = ctx.pack(tws * reps)
-    return fb.to_mont(ctx, jnp.asarray(arr))
+    return ctx.pack(tws * reps)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
-def _phase1_kernel(ctx: FieldCtx, x, log_n: int, inverse: bool, log_tile: int):
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _phase1_kernel(ctx: FieldCtx, x, tw_all, log_tile: int):
     """All stages with m <= TILE, one VMEM pass per tile."""
     n_limbs = ctx.num_limbs
     size = x.shape[0]
     tile = 1 << log_tile
-    tw_all = _phase1_twiddles(ctx, log_n, inverse, log_tile)
     tw_rows = tw_all.shape[0]
 
     def kernel(p_ref, tw_ref, x_ref, o_ref):
@@ -141,15 +150,14 @@ def _phase1_kernel(ctx: FieldCtx, x, log_n: int, inverse: bool, log_tile: int):
     )(_p_row(ctx), tw_all, x)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
-def _phase2_stage(ctx: FieldCtx, x, log_n: int, inverse: bool, stage: int, tile: int):
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _phase2_stage(ctx: FieldCtx, x, tw, stage: int, tile: int):
     """One stage with m >= 2*TILE: u/v/twiddle blocks via index maps."""
     n_limbs = ctx.num_limbs
     size = x.shape[0]
     m = 1 << stage
     half = m // 2
     bpg = half // tile          # u-blocks per butterfly group
-    tw = _phase2_twiddles(ctx, log_n, inverse, stage, tile)
     tw_blocks = tw.shape[0] // tile
 
     def u_index(i):
@@ -210,7 +218,9 @@ def ntt_pallas(ctx: FieldCtx, table, inverse: bool = False, tile: int = TILE):
     log_n = size.bit_length() - 1
     log_tile = tile.bit_length() - 1
     x = jnp.take(table, jnp.asarray(_bitrev_perm(log_n)), axis=0)
-    x = _phase1_kernel(ctx, x, log_n, inverse, log_tile)
+    tw1 = jnp.asarray(_phase1_twiddles(ctx, log_n, inverse, log_tile))
+    x = _phase1_kernel(ctx, x, tw1, log_tile)
     for s in range(log_tile + 1, log_n + 1):
-        x = _phase2_stage(ctx, x, log_n, inverse, s, tile)
+        tw = jnp.asarray(_phase2_twiddles(ctx, log_n, inverse, s, tile))
+        x = _phase2_stage(ctx, x, tw, s, tile)
     return x

@@ -123,15 +123,21 @@ class KZG:
     def collapsed_bases(self) -> list:
         """collapsed_bases()[k]: basis folded k+1 times -- the commitment
         basis for the step-k quotient (size 2^(n-1-k)). Built once, total
-        2^n - 1 point adds."""
+        2^n - 1 point adds, each through the width-quantized Pallas point
+        kernel (one cached Mosaic program per width instead of a giant
+        unrolled XLA site per chain step)."""
         if self._collapsed is None:
-            chain, cur = [], self.g1_lagrange_basis
+            from ..curve import lm_point as lp
+            from ..curve.pallas_point import point_add_px
+
+            chain, cur = [], lp.to_lm(self.g1_lagrange_basis)
             for _ in range(self.num_vars):
-                half = cur[0].shape[0] // 2
-                cur = dc.point_add(
-                    tuple(v[:half] for v in cur), tuple(v[half:] for v in cur)
+                half = cur[0].shape[1] // 2
+                cur = point_add_px(
+                    tuple(v[:, :half] for v in cur),
+                    tuple(v[:, half:] for v in cur),
                 )
-                chain.append(cur)
+                chain.append(lp.from_lm(cur))
             object.__setattr__(self, "_collapsed", chain)
         return self._collapsed
 
