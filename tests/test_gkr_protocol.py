@@ -111,3 +111,20 @@ def test_single_layer_circuit():
     proof = gkr.prove(circuit, [3, 4], taus=[5])
     assert proof.output_poly.to_ints() == [12, 0]
     assert gkr.verify(proof, circuit)
+
+
+def test_fused_lazy_prover_matches_host_bytes():
+    """zktpu/gkr/fused_lazy.py: the single-dispatch device phases (on-device
+    Fiat-Shamir, trim-aware absorb blocks) must emit the exact proof of the
+    host lazy loop, including structurally-trimmed round polys (the all-ADD
+    layer makes a quadratic coefficient vanish)."""
+    structure = [[ADD, ADD, ADD, ADD], [MUL, ADD], [ADD]]
+    circuit = Circuit(ctx, structure)
+    inputs = [5, 2, 2, 4, 10, 0, 3, 3]
+    host = gkr.prove(circuit, inputs, taus=[11, 7, 13], lazy=True, fused=False)
+    dev = gkr.prove(circuit, inputs, taus=[11, 7, 13], lazy=True, fused=True)
+    for lh, ld in zip(host.proof_polynomials, dev.proof_polynomials):
+        assert [p.coefficients for p in lh] == [p.coefficients for p in ld]
+    assert host.claimed_evaluations == dev.claimed_evaluations
+    assert host.input_proof.opened_evals == dev.input_proof.opened_evals
+    assert gkr.verify(dev, circuit)

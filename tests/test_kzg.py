@@ -72,3 +72,24 @@ def test_setup_validations():
         KZG.setup(0, [])
     with pytest.raises(ValueError):
         KZG.setup(2, [1, 2, 3])
+
+
+def test_get_proof_tiered_msm_sizes():
+    """Quotient tiling (KZG.TIER_BITS) must not change any commitment: a
+    2^6-entry opening exercises tiles for every variable past the fourth."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    vals = [int(v) for v in rng.integers(0, 1 << 60, size=64)]
+    taus = [int(t) for t in rng.integers(2, 1 << 40, size=6)]
+    poly = MultilinearPoly.from_ints(ctx, vals)
+    kzg = KZG.for_poly(poly, taus)
+    point = [int(v) for v in rng.integers(1, 1 << 40, size=6)]
+    opened = kzg.open(point, poly)
+    proof = kzg.get_proof(opened, point, poly)
+    commitment = kzg.commit(poly)
+    assert KZG.verify(commitment, opened, proof, point, kzg.g2_taus)
+    # tampered quotient must fail
+    bad = list(proof)
+    bad[2] = hc.add(bad[2], hc.G1_GEN)
+    assert not KZG.verify(commitment, opened, bad, point, kzg.g2_taus)

@@ -158,19 +158,39 @@ def _lazy_ok(circuit: Circuit) -> bool:
 
 
 def prove(circuit: Circuit, inputs: list[int], taus: list[int] | None = None,
-          lazy: bool | None = None) -> GkrProof:
+          lazy: bool | None = None, fused: bool | None = None) -> GkrProof:
     """Full GKR proof over BLS12-381 Fr (reference :31-126).
 
     ``lazy``: use the O(|w|) phase-table sumcheck (zktpu/gkr/lazy.py) instead
     of the reference-shaped dense tensors; proof bytes are identical (tested).
-    Auto-selected when None."""
+    Auto-selected when None. ``fused``: run each lazy phase as one device
+    program with on-device Fiat-Shamir (zktpu/gkr/fused_lazy.py); defaults to
+    True whenever the lazy path is active."""
+    import os
+    import sys
+    import time as _time
+
+    trace = os.environ.get("ZKTPU_TRACE") == "1"
+    marks = [("start", _time.time())]
+
+    def mark(label: str) -> None:
+        if trace:
+            marks.append((label, _time.time()))
+            prev = marks[-2][1]
+            print(f"    [gkr.prove] {label}: {marks[-1][1]-prev:.2f}s",
+                  file=sys.stderr, flush=True)
+
     ctx = fb.get_ctx(FR)
     transcript = Transcript(FR)
     if lazy is None:
         lazy = _lazy_ok(circuit)
+    if fused is None:
+        fused = lazy
 
     input_poly = MultilinearPoly.from_ints(ctx, inputs)
+    mark("inputs upload")
     circuit_evaluations = circuit.evaluate(input_poly)
+    mark("circuit evaluate")
 
     w_0 = circuit_evaluations[-1]
     if w_0.table.shape[0] == 1:  # pad single output to a 1-var MLE (:36-38)
@@ -201,7 +221,12 @@ def prove(circuit: Circuit, inputs: list[int], taus: list[int] | None = None,
                 fbc_poly = lazy_mod.lazy_folded_fbc(
                     ctx, layer, w_i, current_rb, current_rc, alpha, beta
                 )
-            sc_proof = lazy_mod.gkr_prove_lazy(claimed_sum, fbc_poly, transcript)
+            if fused:
+                from .fused_lazy import gkr_prove_lazy_fused
+
+                sc_proof = gkr_prove_lazy_fused(claimed_sum, fbc_poly, transcript)
+            else:
+                sc_proof = lazy_mod.gkr_prove_lazy(claimed_sum, fbc_poly, transcript)
         else:
             if idx == 0:
                 fbc_poly = get_fbc_poly(ctx, random_challenge, layer, w_i, w_i)
@@ -216,8 +241,10 @@ def prove(circuit: Circuit, inputs: list[int], taus: list[int] | None = None,
         current_rb = sc_proof.random_challenges[:mid]
         current_rc = sc_proof.random_challenges[mid:]
 
+        mark(f"layer {idx} sumcheck ({w_i.table.shape[0]} w-entries)")
         o_1 = w_i.evaluate_int(current_rb)
         o_2 = w_i.evaluate_int(current_rc)
+        mark(f"layer {idx} o1/o2 evals")
 
         if idx < num_layers - 1:
             transcript.append_field_elements([o_1])
@@ -231,12 +258,16 @@ def prove(circuit: Circuit, inputs: list[int], taus: list[int] | None = None,
     if taus is None:
         taus = random_taus(input_poly.num_vars)
     kzg_instance = KZG.for_poly(input_poly, taus)
+    mark("KZG setup (SRS comb + g2 taus)")
     commitment = kzg_instance.commit(input_poly)
+    mark("KZG commit MSM")
 
     w_b_eval = kzg_instance.open(current_rb, input_poly)
     w_b_proof = kzg_instance.get_proof(w_b_eval, current_rb, input_poly)
+    mark("KZG proof at r_b")
     w_c_eval = kzg_instance.open(current_rc, input_poly)
     w_c_proof = kzg_instance.get_proof(w_c_eval, current_rc, input_poly)
+    mark("KZG proof at r_c")
 
     input_proof = KzgProof(
         kzg_setup=kzg_instance,

@@ -144,6 +144,14 @@ class KZG:
     def open(self, opening_values: list[int], poly: MultilinearPoly) -> int:
         return poly.evaluate_int(list(opening_values))
 
+    #: quotient MSMs smaller than full_size/2^TIER_BITS are tiled up to that
+    #: size, so get_proof compiles at most TIER_BITS distinct MSM shapes
+    #: instead of one per variable (each cold MSM compile costs ~1-2 min on
+    #: the remote TPU service). Work overhead <= ~1.5x of the pure collapsed
+    #: chain; commitments are bit-identical (tiling is the reference's own
+    #: blow_up_poly semantics, kzg.rs:163-169).
+    TIER_BITS = 4
+
     def get_proof(
         self, opened_value: int, opening_values: list[int], poly: MultilinearPoly
     ) -> list:
@@ -154,16 +162,22 @@ class KZG:
         v_mont = fb.to_mont(ctx, jnp.asarray(ctx.pack(opened_value)))
         table = fb.sub(ctx, poly.table, v_mont)
 
-        del full_size
+        s_min = max(full_size >> self.TIER_BITS, 1)
         bases = self.collapsed_bases()
         proofs = []
         for k, value in enumerate(opening_values):
             half = table.shape[0] // 2
             quotient = fb.sub(ctx, table[half:], table[:half])  # f|x0=1 - f|x0=0
-            # commit(tile(quotient)) == MSM(quotient, collapsed basis): the
-            # reference's blow_up_poly (:163-169) just tiles, so the basis
-            # collapses instead of the scalars blowing up
-            jac = _msm_auto(bases[k], fb.from_mont(ctx, quotient))
+            # commit(tile(quotient)) == MSM(tile_m(quotient), collapsed basis
+            # of size m) for ANY m >= |quotient|: the reference's blow_up_poly
+            # (:163-169) just tiles, so the basis collapses instead of the
+            # scalars blowing up -- and tiling up to the tier size keeps the
+            # set of compiled MSM shapes small.
+            m = max(half, s_min)
+            if half < m:
+                quotient = jnp.tile(quotient, (m // half, 1))
+            base_idx = (full_size // m).bit_length() - 2  # basis of size m
+            jac = _msm_auto(bases[base_idx], fb.from_mont(ctx, quotient))
             proofs.append(dc.unpack_points(tuple(t[None] for t in jac))[0])
             # remainder: fold variable 0 at the opening value
             value_mont = fb.to_mont(ctx, jnp.asarray(ctx.pack(value)))

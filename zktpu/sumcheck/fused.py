@@ -99,17 +99,17 @@ def _fold_jnp(ctx: FieldCtx, table, r_mont):
 
 
 def _absorb_tail_block(ctx: FieldCtx, state, tail_lanes, tail_len: int, canon):
-    """Round-0 absorb: prefix tail || half_sums || padding (static layout)."""
-    total = tail_len + 2 * ctx.spec.byte_len
+    """Round-0 absorb: prefix tail || k field elements || padding (static
+    layout; ``canon`` is (k, N) canonical digit rows)."""
+    total = tail_len + canon.shape[0] * ctx.spec.byte_len
     nblocks = total // kd.RATE + 1
-    content = jnp.concatenate(
-        [
-            tail_lanes.reshape(-1, 2),
-            kd.limbs_to_lanes(canon).reshape(-1, 2),
-            jnp.zeros((17 * nblocks - tail_len // 8 - canon.size // 4, 2), _U32),
-        ],
-        axis=0,
+    parts = [tail_lanes.reshape(-1, 2)]
+    if canon.shape[0]:
+        parts.append(kd.limbs_to_lanes(canon).reshape(-1, 2))
+    parts.append(
+        jnp.zeros((17 * nblocks - tail_len // 8 - canon.size // 4, 2), _U32)
     )
+    content = jnp.concatenate(parts, axis=0)
     pad = np.zeros((17 * nblocks, 2), np.uint32)
     pad[total // 8, 0] ^= 0x01
     pad[17 * nblocks - 1, 1] ^= 0x80000000
@@ -120,14 +120,22 @@ def _absorb_tail_block(ctx: FieldCtx, state, tail_lanes, tail_len: int, canon):
 
 
 def _squeeze_round(ctx: FieldCtx, digest, canon):
-    """Steady-state round: one padded block = digest(32B) || halves(64B)."""
-    lanes = jnp.concatenate(
-        [digest, kd.limbs_to_lanes(canon).reshape(-1, 2)], axis=0
-    )  # (12, 2) = 96 bytes
+    """Steady-state round: one padded block = digest(32B) || k elements
+    (``canon``: (k, N) canonical rows; 32 + 32k <= 135 bytes, i.e. k <= 3)."""
+    if canon.shape[0] == 0:
+        lanes = digest
+    else:
+        lanes = jnp.concatenate(
+            [digest, kd.limbs_to_lanes(canon).reshape(-1, 2)], axis=0
+        )
+    nlanes = lanes.shape[0]  # 4 + 4k
+    assert nlanes <= 16, "round content must fit one Keccak block"
     pad = np.zeros((17, 2), np.uint32)
-    pad[12, 0] = 0x01
-    pad[16, 1] = 0x80000000
-    block = jnp.concatenate([lanes, jnp.zeros((5, 2), _U32)], axis=0) ^ jnp.asarray(pad)
+    pad[nlanes, 0] = 0x01
+    pad[16, 1] ^= 0x80000000
+    block = jnp.concatenate(
+        [lanes, jnp.zeros((17 - nlanes, 2), _U32)], axis=0
+    ) ^ jnp.asarray(pad)
     return kd.absorb_block(jnp.zeros((25, 2), _U32), block)
 
 
