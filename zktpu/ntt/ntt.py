@@ -36,18 +36,28 @@ def _bitrev_perm(log_n: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _twiddles(spec: FieldSpec, log_n: int, inverse: bool):
-    """Per-stage Montgomery twiddle tables w_m^j, j < m/2, m = 2^stage."""
+    """Per-stage Montgomery twiddle tables w_m^j, j < m/2, m = 2^stage.
+
+    Pure HOST numpy (Montgomery conversion = *R mod p done in Python ints):
+    this cache is populated inside jit traces (``_ntt_kernel``), so it must
+    never hold device arrays -- a cached tracer outlives its trace and blows
+    up the next retrace (the round-4 sharded-NTT failure)."""
     ctx = fb.get_ctx(spec)
     n = 1 << log_n
+    p = spec.modulus
     omega = spec.root_of_unity(n)
     if inverse:
-        omega = pow(omega, -1, spec.modulus)
+        omega = pow(omega, -1, p)
+    R = spec.R % p
     stages = []
     for s in range(1, log_n + 1):
         m = 1 << s
-        w_m = pow(omega, n // m, spec.modulus)
-        tws = [pow(w_m, j, spec.modulus) for j in range(m // 2)]
-        stages.append(fb.to_mont(ctx, jnp.asarray(ctx.pack(tws))))
+        w_m = pow(omega, n // m, p)
+        tws, acc = [], R
+        for _ in range(m // 2):
+            tws.append(acc)
+            acc = acc * w_m % p
+        stages.append(ctx.pack(tws))
     return tuple(stages)
 
 
@@ -58,7 +68,7 @@ def _ntt_kernel(ctx, table, log_n: int, inverse: bool):
     x = jnp.take(table, perm, axis=0)
     for s in range(1, log_n + 1):
         m = 1 << s
-        tw = _twiddles(spec, log_n, inverse)[s - 1]  # (m/2, N)
+        tw = jnp.asarray(_twiddles(spec, log_n, inverse)[s - 1])  # (m/2, N)
         shaped = x.reshape(-1, 2, m // 2, ctx.num_limbs)
         u = shaped[:, 0]
         v = fb.mont_mul(ctx, tw[None], shaped[:, 1])
@@ -68,19 +78,47 @@ def _ntt_kernel(ctx, table, log_n: int, inverse: bool):
     return x
 
 
+#: four-step limb-major engine takes over above this size (full-lane-width
+#: stages; see ntt_lm.py). Overridable via ZKTPU_NTT_ENGINE=xla|pallas|lm.
+_LM_MIN = 1 << 14
+
+
+def select_engine(n: int) -> str:
+    """Engine for an n-point transform: 'lm' | 'pallas' | 'xla'."""
+    import os
+
+    forced = os.environ.get("ZKTPU_NTT_ENGINE", "auto")
+    if forced != "auto":
+        return forced
+    from .pallas_ntt import ntt_pallas_available
+
+    if n >= _LM_MIN:
+        return "lm"
+    if ntt_pallas_available(n):
+        return "pallas"
+    return "xla"
+
+
 def ntt(ctx, table, inverse: bool = False):
     """Device NTT of a Montgomery limb table (2^k, N) -> same shape.
 
     Forward: values -> evaluations at successive powers of the 2^k-th root
     (natural order), identical to the reference's recursive ``dft``.
+    Engine auto-selection: the limb-major four-step engine (``ntt_lm``) for
+    large tables, the Pallas two-phase schedule or the XLA ladder below.
     """
     n = table.shape[0]
     log_n = n.bit_length() - 1
     if 1 << log_n != n:
         raise ValueError("Length must be a power of 2")
-    from .pallas_ntt import ntt_pallas, ntt_pallas_available
+    engine = select_engine(n)
+    if engine == "lm":
+        from .ntt_lm import ntt_lm
 
-    if ntt_pallas_available(n):
+        out = ntt_lm(ctx, table, inverse)
+    elif engine == "pallas":
+        from .pallas_ntt import ntt_pallas
+
         out = ntt_pallas(ctx, table, inverse)
     else:
         out = _ntt_kernel(ctx, table, log_n, inverse)

@@ -158,9 +158,16 @@ def _ntt_axis1(ctx: FieldCtx, x, inverse: bool):
     # the canonical order-r2 root) with m1 riding along on the lane axis
     a = x.reshape(L, r2, r1, *rest)
     b = _ntt_axis1(ctx, a, inverse)                     # b[k2, m1]
-    tw = _fourstep_twiddle(ctx.spec, r2, r1, inverse)   # tw[k2, m1] = w^(m1*k2)
+    from .pallas_ntt import _device_tw
+
+    # device-cached: the (L, r2, r1) twiddle matrix is ~n*64 B -- re-uploading
+    # it per transform dominated round-4 timings
+    tw = _device_tw(
+        ("lm4", ctx, r2, r1, inverse),
+        _fourstep_twiddle(ctx.spec, r2, r1, inverse),
+    )
     c = _twiddle_mul(
-        ctx, jnp.asarray(tw).reshape(L, r2, r1, *([1] * len(rest))), b
+        ctx, tw.reshape(L, r2, r1, *([1] * len(rest))), b
     )
     ct = jnp.swapaxes(c, 1, 2)                          # (L, m1, k2, ...)
     d = _ntt_axis1(ctx, ct, inverse)                    # d[k1, k2]

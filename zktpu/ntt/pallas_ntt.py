@@ -209,6 +209,23 @@ def _phase2_stage(ctx: FieldCtx, x, tw, stage: int, tile: int):
     return out
 
 
+#: device-resident twiddle cache keyed on (id-stable ctx, log_n, inverse,
+#: stage-or-phase1, tile). Populated only from EAGER calls (never caches
+#: tracers); holding the uploaded arrays avoids re-shipping ~n*64 B of
+#: twiddles through the host link on every transform (the round-4 3.5x
+#: regression was exactly that per-call re-upload).
+_DEVICE_TW: dict = {}
+
+
+def _device_tw(key, host_arr):
+    arr = _DEVICE_TW.get(key)
+    if arr is None:
+        arr = jnp.asarray(host_arr)
+        if not isinstance(arr, jax.core.Tracer):
+            _DEVICE_TW[key] = arr
+    return arr
+
+
 def ntt_pallas(ctx: FieldCtx, table, inverse: bool = False, tile: int = TILE):
     """Drop-in NTT over a (2^k, N) Montgomery table; values identical to
     ``zktpu.ntt.ntt.ntt`` (without the final iNTT 1/n scale)."""
@@ -218,9 +235,15 @@ def ntt_pallas(ctx: FieldCtx, table, inverse: bool = False, tile: int = TILE):
     log_n = size.bit_length() - 1
     log_tile = tile.bit_length() - 1
     x = jnp.take(table, jnp.asarray(_bitrev_perm(log_n)), axis=0)
-    tw1 = jnp.asarray(_phase1_twiddles(ctx, log_n, inverse, log_tile))
+    tw1 = _device_tw(
+        (ctx, log_n, inverse, 0, tile),
+        _phase1_twiddles(ctx, log_n, inverse, log_tile),
+    )
     x = _phase1_kernel(ctx, x, tw1, log_tile)
     for s in range(log_tile + 1, log_n + 1):
-        tw = jnp.asarray(_phase2_twiddles(ctx, log_n, inverse, s, tile))
+        tw = _device_tw(
+            (ctx, log_n, inverse, s, tile),
+            _phase2_twiddles(ctx, log_n, inverse, s, tile),
+        )
         x = _phase2_stage(ctx, x, tw, s, tile)
     return x
