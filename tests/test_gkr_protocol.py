@@ -128,3 +128,33 @@ def test_fused_lazy_prover_matches_host_bytes():
     assert host.claimed_evaluations == dev.claimed_evaluations
     assert host.input_proof.opened_evals == dev.input_proof.opened_evals
     assert gkr.verify(dev, circuit)
+
+
+def test_fused_lazy_big_round_path_matches_host_bytes(monkeypatch):
+    """Force SCAN_SIZE down to 4 so several ``_big_round`` iterations run
+    before the fixed-shape scan (the production path at real scales, where
+    phase tables exceed the default SCAN_SIZE) and pin its bytes against the
+    host lazy prover: first-round tail absorb, trim switch, and fold ordering
+    must all agree."""
+    import numpy as np
+
+    from zktpu.gkr import fused_lazy
+
+    monkeypatch.setattr(fused_lazy, "SCAN_SIZE", 4)
+
+    rng = np.random.default_rng(23)
+    structure = []
+    n = 16
+    while n >= 1:
+        structure.append([ADD if rng.integers(2) else MUL for _ in range(n)])
+        n //= 2
+    circuit = Circuit(ctx, structure)
+    inputs = [int(v) for v in rng.integers(0, 1 << 61, size=32)]
+    taus = [int(t) for t in rng.integers(2, 1 << 60, size=5)]
+    host = gkr.prove(circuit, inputs, taus=taus, lazy=True, fused=False)
+    dev = gkr.prove(circuit, inputs, taus=taus, lazy=True, fused=True)
+    for lh, ld in zip(host.proof_polynomials, dev.proof_polynomials):
+        assert [p.coefficients for p in lh] == [p.coefficients for p in ld]
+    assert host.claimed_evaluations == dev.claimed_evaluations
+    assert host.input_proof.opened_evals == dev.input_proof.opened_evals
+    assert gkr.verify(dev, circuit)

@@ -175,10 +175,10 @@ def test_fibonacci_check():
 
 
 def test_ntt_lm_matches_dense():
-    import numpy as np
     """Limb-major four-step NTT (zktpu/ntt/ntt_lm.py) must be bit-identical
     to the dense stage ladder, including the recursive split (size > 2^11)
     and the inverse transform."""
+    import numpy as np
     import jax.numpy as jnp
     from zktpu.ntt import ntt_lm as nl
     from zktpu.ntt.ntt import _ntt_kernel

@@ -53,6 +53,10 @@ from . import lazy as lazy_mod
 
 _U32 = jnp.uint32
 EXTRA = fp.EXTRA
+#: tables at or below this size run under the one fixed-shape masked scan;
+#: larger tables get individual ``_big_round`` programs. Module attribute
+#: read at CALL time so tests can force it down (e.g. to 4) and exercise
+#: several ``_big_round`` iterations on a small circuit.
 SCAN_SIZE = 1 << 14
 
 
@@ -147,9 +151,6 @@ def _fold_stack(ctx: FieldCtx, tables, r_mont):
     return fb.add(ctx, a, fb._mont_mul_impl(ctx, r_mont, fb.sub(ctx, b, a)))
 
 
-MAX_STEPS = SCAN_SIZE.bit_length() - 1  # scan rounds at the fixed size
-
-
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _scan_phase_fixed(ctx: FieldCtx, first_is_tail: bool, tail_len: int,
                       state0, tail_lanes, tables_br, nb, digest0):
@@ -192,7 +193,7 @@ def _scan_phase_fixed(ctx: FieldCtx, first_is_tail: bool, tail_len: int,
     (tbl, state, digest), coeffs = jax.lax.scan(
         body,
         (tables_br, state0, digest0),
-        jnp.arange(MAX_STEPS, dtype=jnp.int32),
+        jnp.arange(S.bit_length() - 1, dtype=jnp.int32),
     )
     return coeffs, tbl[0, 0, 0], state
 

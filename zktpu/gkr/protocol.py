@@ -158,17 +158,28 @@ def _lazy_ok(circuit: Circuit) -> bool:
 
 
 def prove(circuit: Circuit, inputs: list[int], taus: list[int] | None = None,
-          lazy: bool | None = None, fused: bool | None = None) -> GkrProof:
+          lazy: bool | None = None, fused: bool | None = None,
+          mesh=None) -> GkrProof:
     """Full GKR proof over BLS12-381 Fr (reference :31-126).
 
     ``lazy``: use the O(|w|) phase-table sumcheck (zktpu/gkr/lazy.py) instead
     of the reference-shaped dense tensors; proof bytes are identical (tested).
     Auto-selected when None. ``fused``: run each lazy phase as one device
     program with on-device Fiat-Shamir (zktpu/gkr/fused_lazy.py); defaults to
-    True whenever the lazy path is active."""
+    True whenever the lazy path is active. ``mesh``: a jax.sharding.Mesh --
+    each layer's sumcheck runs minor-bit sharded across it (parallel/mesh.py)
+    and the KZG commitment/quotient MSMs run point-sharded; proof bytes are
+    identical to the single-device run (tested on the 8-device CPU mesh)."""
     import os
     import sys
     import time as _time
+
+    from ..parallel import context as pctx
+
+    if mesh is not None:
+        with pctx.use_mesh(mesh):
+            return prove(circuit, inputs, taus=taus, lazy=lazy, fused=fused)
+    mesh = pctx.current_mesh()
 
     trace = os.environ.get("ZKTPU_TRACE") == "1"
     marks = [("start", _time.time())]
@@ -221,7 +232,17 @@ def prove(circuit: Circuit, inputs: list[int], taus: list[int] | None = None,
                 fbc_poly = lazy_mod.lazy_folded_fbc(
                     ctx, layer, w_i, current_rb, current_rc, alpha, beta
                 )
-            if fused:
+            from ..parallel import context as _pc
+
+            if mesh is not None and _pc.shardable(
+                fbc_poly.w_table.shape[0], mesh, min_rows=1
+            ):
+                from ..parallel.mesh import gkr_sumcheck_lazy_sharded
+
+                sc_proof = gkr_sumcheck_lazy_sharded(
+                    claimed_sum, fbc_poly, transcript, mesh
+                )
+            elif fused:
                 from .fused_lazy import gkr_prove_lazy_fused
 
                 sc_proof = gkr_prove_lazy_fused(claimed_sum, fbc_poly, transcript)

@@ -84,7 +84,12 @@ _LM_MIN = 1 << 14
 
 
 def select_engine(n: int) -> str:
-    """Engine for an n-point transform: 'lm' | 'pallas' | 'xla'."""
+    """Engine for an n-point transform: 'pallas' | 'lm' | 'xla'.
+
+    Measured on v5e (BENCH_NOTES.md round 5): pallas 101 ms / lm 379 ms /
+    xla 400 ms at 2^20 -- the two-phase Pallas schedule wins wherever it
+    applies; the limb-major four-step engine covers large tables when it
+    does not (non-TPU backends, off-tile sizes)."""
     import os
 
     forced = os.environ.get("ZKTPU_NTT_ENGINE", "auto")
@@ -92,10 +97,10 @@ def select_engine(n: int) -> str:
         return forced
     from .pallas_ntt import ntt_pallas_available
 
-    if n >= _LM_MIN:
-        return "lm"
     if ntt_pallas_available(n):
         return "pallas"
+    if n >= _LM_MIN:
+        return "lm"
     return "xla"
 
 

@@ -341,25 +341,26 @@ def msm_pippenger_sharded(mesh: Mesh, points, scalars, c: int | None = None):
         shard_map,
         mesh=mesh,
         in_specs=((P(AXIS, None),) * 3, P(AXIS, None)),
-        out_specs=P(),
-        # the all_gather + identical tree-sum leaves every device with the
-        # same point; the varying-axis checker cannot infer that
-        check_vma=False,
+        # each device emits its LOCAL partial point; the cross-chip tree-sum
+        # runs outside the shard_map (GSPMD inserts the gather), so the
+        # varying-axis checker stays on for the whole local pipeline
+        out_specs=P(AXIS, None),
     )
     def run(pts, sc):
         from ..curve import lm_point as lp
 
         local = pp._msm_impl.__wrapped__(lp.to_lm(pts), sc, c, wg)
-        gathered = tuple(
-            jax.lax.all_gather(v, AXIS) for v in local
-        )  # (D, 24) each
-        return dc.tree_sum_points(gathered)
+        return tuple(v[None] for v in local)  # (1, 24) per device -> (D, 24)
+
+    @jax.jit
+    def run_and_reduce(pts, sc):
+        return dc.tree_sum_points(run(pts, sc))
 
     pts = tuple(
         jax.device_put(t, NamedSharding(mesh, P(AXIS, None))) for t in points
     )
     sc = jax.device_put(scalars, NamedSharding(mesh, P(AXIS, None)))
-    return jax.jit(run)(pts, sc)
+    return run_and_reduce(pts, sc)
 
 
 def point_tree_sum_sharded(mesh: Mesh, points):

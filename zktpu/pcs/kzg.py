@@ -50,6 +50,16 @@ PIPPENGER_MIN = 4096
 
 
 def _msm_auto(points, scalars):
+    """Single- or multi-chip MSM: when a mesh is active (parallel.context)
+    and the batch axis shards cleanly, each device runs the full Pippenger
+    pipeline on its point shard and only D partial points cross chips."""
+    from ..parallel import context as pctx
+
+    mesh = pctx.current_mesh()
+    if mesh is not None and pctx.shardable(scalars.shape[0], mesh):
+        from ..parallel.mesh import msm_pippenger_sharded
+
+        return msm_pippenger_sharded(mesh, points, scalars)
     if scalars.shape[0] >= PIPPENGER_MIN:
         return msm_pippenger(points, scalars)
     return msm_bitsplit(points, scalars)
