@@ -320,14 +320,15 @@ def main() -> None:
     )
 
     # secondaries, flagship first, each under the wall-clock budget
-    section("gkr", 150, bench_gkr, 12 if tpu else 6)
+    section("gkr 2^12", 120, bench_gkr, 12 if tpu else 6)
     section("ntt 2^20", 60, bench_ntt, 20)
     if tpu:
         section("ntt 2^22", 60, bench_ntt, 22)
     section("fold", 40, bench_fold_throughput, 20)
-    section("msm 2^16", 120, bench_msm, 16 if tpu else 10)
+    section("msm 2^16", 100, bench_msm, 16 if tpu else 10)
     if tpu:
-        section("msm 2^20", 150, bench_msm, 20)
+        section("msm 2^20", 120, bench_msm, 20)
+        section("gkr 2^16", 150, bench_gkr, 16)
         if FULL:
             section("gkr 2^18", 300, bench_gkr, 18)
     section("micro", 30, bench_micro)

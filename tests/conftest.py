@@ -36,3 +36,9 @@ def _clear_jax_caches_between_modules():
     persistent disk cache makes reloads cheap."""
     yield
     jax.clear_caches()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: scale-tier tests (deselect with -m 'not slow')"
+    )

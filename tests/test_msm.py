@@ -100,3 +100,48 @@ def test_comb_matches_ladder(sample):
     a = dc.unpack_points(generator_comb_mul(sc))
     b = dc.unpack_points(dc.batch_generator_mul(sc))
     assert a == b
+
+
+def test_msm_staged_matches_host(sample):
+    """The staged per-shape TPU dispatch path (adaptive compaction rounds,
+    one jit per stage) must give the exact group element of the host loop,
+    including the degenerate all-equal-scalars input whose single bucket run
+    forces the worst-case round count."""
+    from zktpu.curve import lm_point as lp
+    from zktpu.msm import pippenger as pp
+
+    pts, scalars = sample
+    packed = dc.pack_points(pts)
+    for sc_ints in (scalars, [12345] * len(pts)):
+        expect = None
+        for p, s in zip(pts, sc_ints):
+            t = hc.multiply(p, s)
+            expect = t if expect is None else hc.add(expect, t)
+        sc = dc.pack_scalars(sc_ints)
+        wg = pp._pick_window_group(len(pts), 64)
+        out = pp._msm_staged(lp.to_lm(packed), sc, 4, wg)
+        got = dc.unpack_points(tuple(t[None] for t in out))[0]
+        assert got == expect
+
+
+def test_msm_multi_matches_individual(sample):
+    """Segment-batched MSM (shared base): each segment's result must equal
+    its individual MSM."""
+    from zktpu.msm.pippenger import msm_pippenger_multi
+
+    pts, scalars = sample
+    rng = np.random.default_rng(17)
+    packed = dc.pack_points(pts)
+    batch = [
+        [int(a) for a in rng.integers(1, 1 << 62, size=len(pts))]
+        for _ in range(3)
+    ]
+    sc = np.stack([dc.pack_scalars(s) for s in batch])
+    out = msm_pippenger_multi(packed, sc, c=4)
+    got = dc.unpack_points(out)
+    for seg, sc_ints in zip(got, batch):
+        expect = None
+        for p, s in zip(pts, sc_ints):
+            t = hc.multiply(p, s)
+            expect = t if expect is None else hc.add(expect, t)
+        assert seg == expect

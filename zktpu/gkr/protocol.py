@@ -284,11 +284,12 @@ def prove(circuit: Circuit, inputs: list[int], taus: list[int] | None = None,
     mark("KZG commit MSM")
 
     w_b_eval = kzg_instance.open(current_rb, input_poly)
-    w_b_proof = kzg_instance.get_proof(w_b_eval, current_rb, input_poly)
-    mark("KZG proof at r_b")
     w_c_eval = kzg_instance.open(current_rc, input_poly)
-    w_c_proof = kzg_instance.get_proof(w_c_eval, current_rc, input_poly)
-    mark("KZG proof at r_c")
+    mark("KZG opens")
+    w_b_proof, w_c_proof = kzg_instance.get_proof_pair(
+        (w_b_eval, current_rb), (w_c_eval, current_rc), input_poly
+    )
+    mark("KZG proofs at r_b/r_c (batched MSM)")
 
     input_proof = KzgProof(
         kzg_setup=kzg_instance,

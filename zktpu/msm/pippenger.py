@@ -175,9 +175,9 @@ def _compaction_schedule(l0: int, max_segments: int) -> tuple[list[int], int]:
     return sizes, rounds - len(sizes)
 
 
-def _group_bucket_sums(points, abs_d, signs, nbuck: int):
-    """Dense (24, Wg, nbuck) limb-major bucket table for a group of windows
-    (bucket 0 holds junk and is dropped by the reduction)."""
+def _presort(points, abs_d, signs, nbuck: int):
+    """Sort a window group by (window, |digit|) key; negate Y on negative
+    digits, mask digit-0 lanes to infinity. Returns (sorted key, pt)."""
     Xp, Yp, Zp = points
     Wg, n = abs_d.shape
     L0 = Wg * n
@@ -196,23 +196,23 @@ def _group_bucket_sums(points, abs_d, signs, nbuck: int):
     Y = jnp.where(sgn[None], y_neg, Y)
     # digit 0 contributes nothing: mask those lanes to infinity
     Z = jnp.where((skey % nbuck == 0)[None], jnp.zeros_like(Z), Z)
-    pt = (X, Y, Z)
+    return skey, (X, Y, Z)
 
-    max_segments = Wg * nbuck + 1  # +1 for the padding-sentinel run
-    shrink_sizes, fixed_rounds = _compaction_schedule(L0, max_segments)
-    for l_next in shrink_sizes:
-        skey, pt = _compact_round(skey, pt, l_next)
-    if fixed_rounds > 0:
-        L = skey.shape[0]
 
-        def body(state, _):
-            k, p = state
-            return _compact_round(k, p, L), None
+def _fixed_rounds(skey, pt, rounds: int):
+    L = skey.shape[0]
 
-        (skey, pt), _ = jax.lax.scan(body, (skey, pt), None, length=fixed_rounds)
+    def body(state, _):
+        k, p = state
+        return _compact_round(k, p, L), None
 
-    # densify: one dummy infinity per (window, bucket) key, sort, one more
-    # pair round -> exactly one entry per key, in key order
+    (skey, pt), _ = jax.lax.scan(body, (skey, pt), None, length=rounds)
+    return skey, pt
+
+
+def _densify(skey, pt, Wg: int, nbuck: int):
+    """One dummy infinity per (window, bucket) key, sort, one more pair
+    round -> a dense (24, Wg, nbuck) bucket table in key order."""
     n_keys = Wg * nbuck
     dummy_key = jax.lax.broadcasted_iota(jnp.int32, (n_keys,), 0)
     all_key = jnp.concatenate([skey, dummy_key])
@@ -224,6 +224,113 @@ def _group_bucket_sums(points, abs_d, signs, nbuck: int):
     return tuple(v[:, :n_keys].reshape(-1, Wg, nbuck) for v in dense)
 
 
+def _group_bucket_sums(points, abs_d, signs, nbuck: int):
+    """Dense (24, Wg, nbuck) limb-major bucket table for a group of windows
+    (bucket 0 holds junk and is dropped by the reduction)."""
+    Wg, n = abs_d.shape
+    skey, pt = _presort(points, abs_d, signs, nbuck)
+    shrink_sizes, fixed_rounds = _compaction_schedule(Wg * n, Wg * nbuck + 1)
+    for l_next in shrink_sizes:
+        skey, pt = _compact_round(skey, pt, l_next)
+    if fixed_rounds > 0:
+        skey, pt = _fixed_rounds(skey, pt, fixed_rounds)
+    return _densify(skey, pt, Wg, nbuck)
+
+
+# ---- staged dispatch: one jit per stage, per-shape programs reused -------
+#
+# A monolithic _msm_impl jit inlines every compaction round, Kogge-Stone
+# step and tree level into ONE program: ~40 Pallas point-kernel sites whose
+# compiles are NOT cached across processes by the axon remote-compile
+# service (measured: 252 s cold at 2^16 on a shape already compiled the
+# previous day). Staging compiles one small program per (stage, shape) --
+# widths are quantized, so compaction rounds and tree levels REUSE the same
+# few programs -- and the dispatch count stays ~30 per MSM (microseconds of
+# overhead against a ~1 s runtime).
+
+_digits_jit = jax.jit(_recode_signed, static_argnums=(1,))
+_presort_jit = jax.jit(_presort, static_argnums=(3,))
+_compact_round_jit = jax.jit(_compact_round, static_argnums=(2,))
+_fixed_rounds_jit = jax.jit(_fixed_rounds, static_argnums=(2,))
+_densify_jit = jax.jit(_densify, static_argnums=(2, 3))
+
+
+@jax.jit
+def _max_run(skey):
+    """Longest equal-key run of a sorted key vector (uint32 scalar)."""
+    L = skey.shape[0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
+    head = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    run_start = jax.lax.cummax(jnp.where(head, pos, 0))
+    return jnp.max(pos - run_start) + 1
+
+
+def _bucket_pipeline_staged(points, abs_g, sgn_g, nbuck: int):
+    """Staged _group_bucket_sums over (G, Wg, n) digit groups ->
+    (24, G*Wg, nbuck) bucket table.
+
+    Data-adaptive round count: every compaction round halves every run, so
+    ceil(log2(longest run)) rounds suffice -- for random scalars the longest
+    bucket run is ~n/NBUCK + O(sqrt), typically 2-3 fixed rounds instead of
+    the worst-case ~16 (which only degenerate inputs -- e.g. all scalars
+    equal -- actually need). One O(1)-byte host fetch per group buys a ~40%
+    cut of total group adds at 2^20."""
+    G, Wg, n = abs_g.shape
+    parts = []
+    for g in range(G):
+        skey, pt = _presort_jit(points, abs_g[g], sgn_g[g], nbuck)
+        rounds_needed = math.ceil(
+            math.log2(max(2, int(jax.device_get(_max_run(skey)))))
+        )
+        shrink_sizes, _ = _compaction_schedule(Wg * n, Wg * nbuck + 1)
+        shrink_sizes = shrink_sizes[:rounds_needed]
+        for l_next in shrink_sizes:
+            skey, pt = _compact_round_jit(skey, pt, l_next)
+        for _ in range(rounds_needed - len(shrink_sizes)):
+            skey, pt = _compact_round_jit(skey, pt, skey.shape[0])
+        parts.append(_densify_jit(skey, pt, Wg, nbuck))
+    if G == 1:
+        return parts[0]
+    return tuple(
+        jnp.concatenate([p[i] for p in parts], axis=1) for i in range(3)
+    )
+
+
+def _flat_add(a, b):
+    N = a[0].shape[0]
+    out = point_add_px(
+        tuple(v.reshape(N, -1) for v in a),
+        tuple(v.reshape(N, -1) for v in b),
+    )
+    return tuple(v.reshape(a[0].shape) for v in out)
+
+
+def _ks_step(vals, d: int):
+    """One Kogge-Stone suffix-sum step at shift ``d``."""
+    N, W, _ = vals[0].shape
+    inf = tuple(v.reshape(N, W, -1) for v in lp.infinity_lm(FQ_CTX, W * d))
+    shifted = tuple(
+        jnp.concatenate([v[:, :, d:], pad], axis=2)
+        for v, pad in zip(vals, inf)
+    )
+    return _flat_add(vals, shifted)
+
+
+def _pair_step(vals):
+    """One halving level of the pairwise bucket-sum tree."""
+    k = vals[0].shape[2]
+    half = k // 2
+    lo = tuple(v[:, :, :half] for v in vals)
+    hi = tuple(v[:, :, half: 2 * half] for v in vals)
+    red = _flat_add(lo, hi)
+    if k % 2:
+        red = tuple(
+            jnp.concatenate([r, v[:, :, 2 * half:]], axis=2)
+            for r, v in zip(red, vals)
+        )
+    return red
+
+
 def _weighted_bucket_reduce(buckets):
     """(24, W, NBUCK) bucket table -> (24, W) per-window sums sum_k k*B_k.
 
@@ -232,41 +339,68 @@ def _weighted_bucket_reduce(buckets):
     bucket 0 is dropped.
     """
     vals = tuple(v[:, :, 1:] for v in buckets)  # k = 1 .. NBUCK-1
-    N, W, K = vals[0].shape
-
-    def flat_add(a, b):
-        out = point_add_px(
-            tuple(v.reshape(N, -1) for v in a),
-            tuple(v.reshape(N, -1) for v in b),
-        )
-        return tuple(v.reshape(a[0].shape) for v in out)
-
+    K = vals[0].shape[2]
     d = 1
     while d < K:
-        inf = tuple(
-            v.reshape(N, W, -1)
-            for v in lp.infinity_lm(FQ_CTX, W * d)
-        )
-        shifted = tuple(
-            jnp.concatenate([v[:, :, d:], pad], axis=2)
-            for v, pad in zip(vals, inf)
-        )
-        vals = flat_add(vals, shifted)
+        vals = _ks_step(vals, d)
         d *= 2
-    k = K
-    while k > 1:
-        half = k // 2
-        lo = tuple(v[:, :, :half] for v in vals)
-        hi = tuple(v[:, :, half: 2 * half] for v in vals)
-        red = flat_add(lo, hi)
-        if k % 2:
-            red = tuple(
-                jnp.concatenate([r, v[:, :, 2 * half:]], axis=2)
-                for r, v in zip(red, vals)
-            )
-        vals = red
-        k = vals[0].shape[2]
+    while vals[0].shape[2] > 1:
+        vals = _pair_step(vals)
     return tuple(v[:, :, 0] for v in vals)
+
+
+_ks_step_jit = jax.jit(_ks_step, static_argnums=(1,))
+_pair_step_jit = jax.jit(_pair_step)
+
+
+def _weighted_reduce_staged(buckets):
+    vals = tuple(v[:, :, 1:] for v in buckets)
+    K = vals[0].shape[2]
+    d = 1
+    while d < K:
+        vals = _ks_step_jit(vals, d)
+        d *= 2
+    while vals[0].shape[2] > 1:
+        vals = _pair_step_jit(vals)
+    return tuple(v[:, :, 0] for v in vals)
+
+
+def _horner_single(per_window, c: int):
+    """Window combine: acc = ((R_{W-1} * 2^c + R_{W-2}) * 2^c + ...)."""
+    num_windows = per_window[0].shape[1]
+    acc0 = tuple(v[:, num_windows - 1: num_windows] for v in per_window)
+
+    def horner(i, acc):
+        w = num_windows - 2 - i
+        acc = jax.lax.fori_loop(0, c, lambda _, a: point_double_px(a), acc)
+        pw = tuple(
+            jax.lax.dynamic_slice_in_dim(v, w, 1, axis=1) for v in per_window
+        )
+        return point_add_px(acc, pw)
+
+    out = jax.lax.fori_loop(0, num_windows - 1, horner, acc0)
+    return tuple(v[:, 0] for v in out)
+
+
+def _horner_multi(per_window, c: int):
+    """Batched window combine over (24, S, W) per-segment tables -> (24, S)."""
+    num_windows = per_window[0].shape[2]
+    acc0 = tuple(v[:, :, num_windows - 1] for v in per_window)
+
+    def horner(i, acc):
+        w = num_windows - 2 - i
+        acc = jax.lax.fori_loop(0, c, lambda _, a: point_double_px(a), acc)
+        pw = tuple(
+            jax.lax.dynamic_slice_in_dim(v, w, 1, axis=2)[:, :, 0]
+            for v in per_window
+        )
+        return point_add_px(acc, pw)
+
+    return jax.lax.fori_loop(0, num_windows - 1, horner, acc0)
+
+
+_horner_single_jit = jax.jit(_horner_single, static_argnums=(1,))
+_horner_multi_jit = jax.jit(_horner_multi, static_argnums=(1,))
 
 
 def _pick_window_group(n: int, num_windows: int) -> int:
@@ -304,20 +438,98 @@ def _msm_impl(points, scalars, c: int, window_group: int):
         )
 
     per_window = _weighted_bucket_reduce(buckets)  # (24, W)
+    return _horner_single(per_window, c)
 
-    # Horner over windows: acc = ((R_{W-1} * 2^c + R_{W-2}) * 2^c + ...)
-    acc0 = tuple(v[:, num_windows - 1: num_windows] for v in per_window)
 
-    def horner(i, acc):
-        w = num_windows - 2 - i
-        acc = jax.lax.fori_loop(0, c, lambda _, a: point_double_px(a), acc)
-        pw = tuple(
-            jax.lax.dynamic_slice_in_dim(v, w, 1, axis=1) for v in per_window
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _msm_multi_impl(points, scalars, S: int, c: int, window_group: int):
+    """Segmented MSM against ONE shared base: scalars (S, m, 16) canonical,
+    points limb-major (24, m) -> (24, S) per-segment Jacobian results.
+
+    The S segments ride the existing windowed pipeline as S*W independent
+    'windows' over the same point set -- one sort/compaction pass per window
+    group and ONE program for all segments, replacing S separate MSM
+    dispatches (the KZG get_proof hot path: 12 quotient MSMs cost 90 s as
+    individual ladders at 2^12, ~0.5 s batched)."""
+    m = scalars.shape[1]
+    num_windows = 256 // c
+    SW = S * num_windows
+    nbuck = (1 << (c - 1)) + 1
+    abs_d, signs = _recode_signed(scalars.reshape(S * m, -1), c)  # (W, S*m)
+    # (W, S, m) -> (S*W, m): segment-major window slots
+    abs_d = jnp.moveaxis(abs_d.reshape(num_windows, S, m), 1, 0).reshape(SW, m)
+    signs = jnp.moveaxis(signs.reshape(num_windows, S, m), 1, 0).reshape(SW, m)
+
+    n_groups = SW // window_group
+    abs_g = abs_d.reshape(n_groups, window_group, m)
+    sgn_g = signs.reshape(n_groups, window_group, m)
+
+    if n_groups == 1:
+        buckets = _group_bucket_sums(points, abs_g[0], sgn_g[0], nbuck)
+    else:
+        def body(_, inp):
+            a, s = inp
+            return None, _group_bucket_sums(points, a, s, nbuck)
+
+        _, stacked = jax.lax.scan(body, None, (abs_g, sgn_g))
+        buckets = tuple(
+            jnp.moveaxis(v, 0, 1).reshape(-1, SW, nbuck) for v in stacked
         )
-        return point_add_px(acc, pw)
 
-    out = jax.lax.fori_loop(0, num_windows - 1, horner, acc0)
-    return tuple(v[:, 0] for v in out)
+    per_window = _weighted_bucket_reduce(buckets)  # (24, S*W)
+    per_window = tuple(v.reshape(-1, S, num_windows) for v in per_window)
+    return _horner_multi(per_window, c)
+
+
+def _msm_staged(points_lm, scalars, c: int, wg: int):
+    """Single-result MSM via staged per-shape programs (TPU path)."""
+    num_windows = 256 // c
+    nbuck = (1 << (c - 1)) + 1
+    abs_d, signs = _digits_jit(scalars, c)
+    n_groups = num_windows // wg
+    abs_g = abs_d.reshape(n_groups, wg, -1)
+    sgn_g = signs.reshape(n_groups, wg, -1)
+    buckets = _bucket_pipeline_staged(points_lm, abs_g, sgn_g, nbuck)
+    per_window = _weighted_reduce_staged(buckets)
+    return _horner_single_jit(per_window, c)
+
+
+def _msm_multi_staged(points_lm, scalars_batch, S: int, c: int, wg: int):
+    """Segment-batched MSM via staged per-shape programs (TPU path)."""
+    m = scalars_batch.shape[1]
+    num_windows = 256 // c
+    SW = S * num_windows
+    nbuck = (1 << (c - 1)) + 1
+    abs_d, signs = _digits_jit(scalars_batch.reshape(S * m, -1), c)
+    abs_d = jnp.moveaxis(abs_d.reshape(num_windows, S, m), 1, 0).reshape(SW, m)
+    signs = jnp.moveaxis(signs.reshape(num_windows, S, m), 1, 0).reshape(SW, m)
+    n_groups = SW // wg
+    abs_g = abs_d.reshape(n_groups, wg, m)
+    sgn_g = signs.reshape(n_groups, wg, m)
+    buckets = _bucket_pipeline_staged(points_lm, abs_g, sgn_g, nbuck)
+    per_window = _weighted_reduce_staged(buckets)
+    per_window = tuple(v.reshape(-1, S, num_windows) for v in per_window)
+    return _horner_multi_jit(per_window, c)
+
+
+def msm_pippenger_multi(points, scalars_batch, c: int | None = None):
+    """S same-size MSMs of one shared base in a single dispatch.
+
+    ``points``: lanes-last Jacobian triple ((m, 24) arrays); ``scalars_batch``:
+    canonical (S, m, 16) Fr limbs. Returns a lanes-last ((S, 24) arrays)
+    Jacobian triple of the S results."""
+    from ..curve.pallas_point import pallas_points_available
+
+    S, m = scalars_batch.shape[:2]
+    if c is None:
+        c = pick_window_bits(S * m)
+    wg = _pick_window_group(m, S * (256 // c))
+    pts_lm = lp.to_lm(points)
+    if pallas_points_available():
+        out = _msm_multi_staged(pts_lm, scalars_batch, S, c, wg)
+    else:
+        out = _msm_multi_impl.__wrapped__(pts_lm, scalars_batch, S, c, wg)
+    return tuple(jnp.swapaxes(v, 0, 1) for v in out)
 
 
 def msm_pippenger(points, scalars, c: int | None = None):
@@ -335,7 +547,9 @@ def msm_pippenger(points, scalars, c: int | None = None):
     pts_lm = lp.to_lm(points)
     wg = _pick_window_group(n, 256 // c)
     if pallas_points_available():
-        return _msm_impl(pts_lm, scalars, c, wg)
+        # staged per-shape programs: the monolithic jit costs 250+ s of
+        # remote compile per (n, c) and the axon service caches nothing
+        return _msm_staged(pts_lm, scalars, c, wg)
     # CPU/test path: run eagerly so each point-op width compiles once (via
     # the jitted loop-CIOS fallbacks) instead of inlining ~12 call sites
     # into one giant XLA program

@@ -363,6 +363,49 @@ def msm_pippenger_sharded(mesh: Mesh, points, scalars, c: int | None = None):
     return run_and_reduce(pts, sc)
 
 
+def msm_pippenger_multi_sharded(mesh: Mesh, points, scalars_batch):
+    """Segment-sharded batched MSM: S same-size MSMs of one shared base,
+    segments split across the mesh (each device runs the full windowed
+    pipeline on its segment subset -- zero cross-chip traffic until the
+    tiny (S, 24) result gathers). Segments pad to a mesh multiple with zero
+    scalars (whose MSM is the identity); pads are dropped before return."""
+    from functools import partial
+
+    from jax import shard_map
+
+    from ..curve import lm_point as lp
+    from ..msm import pippenger as pp
+
+    S, m = scalars_batch.shape[:2]
+    d = mesh.devices.size
+    pad = (-S) % d
+    if pad:
+        scalars_batch = jnp.concatenate(
+            [scalars_batch, jnp.zeros((pad, m, scalars_batch.shape[2]),
+                                      scalars_batch.dtype)], axis=0
+        )
+    s_loc = (S + pad) // d
+    c = pp.pick_window_bits(s_loc * m)
+    wg = pp._pick_window_group(m, s_loc * (256 // c))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=((P(None, None),) * 3, P(AXIS, None, None)),
+        out_specs=(P(AXIS, None),) * 3,
+    )
+    def run(pts, sc):
+        out = pp._msm_multi_impl.__wrapped__(lp.to_lm(pts), sc, s_loc, c, wg)
+        return tuple(jnp.swapaxes(v, 0, 1) for v in out)
+
+    pts = tuple(jax.device_put(t, replicated(mesh)) for t in points)
+    sc = jax.device_put(
+        scalars_batch, NamedSharding(mesh, P(AXIS, None, None))
+    )
+    out = jax.jit(run)(pts, sc)
+    return tuple(v[:S] for v in out)
+
+
 def point_tree_sum_sharded(mesh: Mesh, points):
     """Cross-chip point reduction only (the communication pattern of the
     sharded MSM without its 255-step ladder) -- used by fast dry runs."""

@@ -130,69 +130,94 @@ class KZG:
         jac = _msm_auto(self.g1_lagrange_basis, scalars)
         return dc.unpack_points(tuple(t[None] for t in jac))[0]
 
-    def collapsed_bases(self) -> list:
+    def collapsed_bases(self, upto: int | None = None) -> list:
         """collapsed_bases()[k]: basis folded k+1 times -- the commitment
-        basis for the step-k quotient (size 2^(n-1-k)). Built once, total
-        2^n - 1 point adds, each through the width-quantized Pallas point
-        kernel (one cached Mosaic program per width instead of a giant
-        unrolled XLA site per chain step)."""
-        if self._collapsed is None:
-            from ..curve import lm_point as lp
-            from ..curve.pallas_point import point_add_px
+        basis for the step-k quotient (size 2^(n-1-k)). Built incrementally
+        (the batched get_proof needs only step 0), each fold through the
+        width-quantized Pallas point kernel (one cached Mosaic program per
+        width instead of a giant unrolled XLA site per chain step)."""
+        from ..curve import lm_point as lp
+        from ..curve.pallas_point import point_add_px
 
-            chain, cur = [], lp.to_lm(self.g1_lagrange_basis)
-            for _ in range(self.num_vars):
-                half = cur[0].shape[1] // 2
-                cur = point_add_px(
-                    tuple(v[:, :half] for v in cur),
-                    tuple(v[:, half:] for v in cur),
-                )
-                chain.append(lp.from_lm(cur))
-            object.__setattr__(self, "_collapsed", chain)
+        if upto is None:
+            upto = self.num_vars
+        chain = self._collapsed if self._collapsed is not None else []
+        while len(chain) < upto:
+            prev = (
+                self.g1_lagrange_basis if not chain else chain[-1]
+            )
+            cur = lp.to_lm(prev)
+            half = cur[0].shape[1] // 2
+            cur = point_add_px(
+                tuple(v[:, :half] for v in cur),
+                tuple(v[:, half:] for v in cur),
+            )
+            chain.append(lp.from_lm(cur))
+        object.__setattr__(self, "_collapsed", chain)
         return self._collapsed
 
     def open(self, opening_values: list[int], poly: MultilinearPoly) -> int:
         return poly.evaluate_int(list(opening_values))
 
-    #: quotient MSMs smaller than full_size/2^TIER_BITS are tiled up to that
-    #: size, so get_proof compiles at most TIER_BITS distinct MSM shapes
-    #: instead of one per variable (each cold MSM compile costs ~1-2 min on
-    #: the remote TPU service). Work overhead <= ~1.5x of the pure collapsed
-    #: chain; commitments are bit-identical (tiling is the reference's own
-    #: blow_up_poly semantics, kzg.rs:163-169).
-    TIER_BITS = 4
+    def _quotients(self, opened_value: int, opening_values: list[int],
+                   poly: MultilinearPoly):
+        """(n_vars, 2^(n-1), N) Montgomery stack of all quotient tables,
+        each tiled up to half the full size (reference blow_up_poly
+        semantics, kzg.rs:163-169: tiling never changes the committed
+        element when paired with the once-collapsed basis)."""
+        ctx = poly.ctx
+        v_mont = fb.to_mont(ctx, jnp.asarray(ctx.pack(opened_value)))
+        table = fb.sub(ctx, poly.table, v_mont)
+        half0 = max(table.shape[0] // 2, 1)
+        quotients = []
+        for value in opening_values:
+            half = table.shape[0] // 2
+            quotient = fb.sub(ctx, table[half:], table[:half])  # f|x0=1 - f|x0=0
+            if half < half0:
+                quotient = jnp.tile(quotient, (half0 // half, 1))
+            quotients.append(quotient)
+            # remainder: fold variable 0 at the opening value
+            value_mont = fb.to_mont(ctx, jnp.asarray(ctx.pack(value)))
+            table = fold_kernel(ctx, table, 0, value_mont)
+        return jnp.stack(quotients)
+
+    def _commit_quotients(self, stacked) -> list:
+        """Segment-batched commitment of a (S, 2^(n-1), N) Montgomery
+        quotient stack against the once-collapsed basis: ONE MSM dispatch
+        for all S quotients (round-5 fix: S individual small-MSM ladders
+        cost 90 s of a 93 s GKR 2^12 prove)."""
+        from ..msm.pippenger import msm_pippenger_multi
+        from ..parallel import context as pctx
+
+        ctx = fb.get_ctx(FR)
+        scalars = fb.from_mont(ctx, stacked)
+        base = self.collapsed_bases(upto=1)[0]
+        mesh = pctx.current_mesh()
+        if mesh is not None and pctx.shardable(
+            scalars.shape[0] * scalars.shape[1], mesh
+        ):
+            from ..parallel.mesh import msm_pippenger_multi_sharded
+
+            jac = msm_pippenger_multi_sharded(mesh, base, scalars)
+        else:
+            jac = msm_pippenger_multi(base, scalars)
+        return dc.unpack_points(jac)
 
     def get_proof(
         self, opened_value: int, opening_values: list[int], poly: MultilinearPoly
     ) -> list:
         """One quotient commitment per variable (reference :59-95)."""
-        ctx = poly.ctx
-        full_size = poly.table.shape[0]
-        # poly - v
-        v_mont = fb.to_mont(ctx, jnp.asarray(ctx.pack(opened_value)))
-        table = fb.sub(ctx, poly.table, v_mont)
+        stacked = self._quotients(opened_value, opening_values, poly)
+        return self._commit_quotients(stacked)
 
-        s_min = max(full_size >> self.TIER_BITS, 1)
-        bases = self.collapsed_bases()
-        proofs = []
-        for k, value in enumerate(opening_values):
-            half = table.shape[0] // 2
-            quotient = fb.sub(ctx, table[half:], table[:half])  # f|x0=1 - f|x0=0
-            # commit(tile(quotient)) == MSM(tile_m(quotient), collapsed basis
-            # of size m) for ANY m >= |quotient|: the reference's blow_up_poly
-            # (:163-169) just tiles, so the basis collapses instead of the
-            # scalars blowing up -- and tiling up to the tier size keeps the
-            # set of compiled MSM shapes small.
-            m = max(half, s_min)
-            if half < m:
-                quotient = jnp.tile(quotient, (m // half, 1))
-            base_idx = (full_size // m).bit_length() - 2  # basis of size m
-            jac = _msm_auto(bases[base_idx], fb.from_mont(ctx, quotient))
-            proofs.append(dc.unpack_points(tuple(t[None] for t in jac))[0])
-            # remainder: fold variable 0 at the opening value
-            value_mont = fb.to_mont(ctx, jnp.asarray(ctx.pack(value)))
-            table = fold_kernel(ctx, table, 0, value_mont)
-        return proofs
+    def get_proof_pair(self, openings_b, openings_c, poly: MultilinearPoly):
+        """Both GKR opening proofs (r_b, r_c) in one batched MSM dispatch:
+        2n segments instead of two n-segment calls."""
+        (val_b, pts_b), (val_c, pts_c) = openings_b, openings_c
+        qb = self._quotients(val_b, pts_b, poly)
+        qc = self._quotients(val_c, pts_c, poly)
+        both = self._commit_quotients(jnp.concatenate([qb, qc], axis=0))
+        return both[: len(pts_b)], both[len(pts_b):]
 
     @staticmethod
     def verify(
