@@ -200,13 +200,24 @@ def _presort(points, abs_d, signs, nbuck: int):
 
 
 def _fixed_rounds(skey, pt, rounds: int):
+    """Up to ``rounds`` fixed-width compaction rounds with device-side early
+    exit: every round halves every run, so the loop stops as soon as no
+    adjacent equal (non-sentinel) keys remain. Random scalars leave runs of
+    ~n/NBUCK -> a handful of iterations; only degenerate inputs (all scalars
+    equal) walk the full worst-case count. One program either way."""
     L = skey.shape[0]
 
-    def body(state, _):
-        k, p = state
-        return _compact_round(k, p, L), None
+    def cond(state):
+        k, _, i = state
+        dup = jnp.any(jnp.logical_and(k[1:] == k[:-1], k[1:] != _MAXKEY))
+        return jnp.logical_and(dup, i < rounds)
 
-    (skey, pt), _ = jax.lax.scan(body, (skey, pt), None, length=rounds)
+    def body(state):
+        k, p, i = state
+        k2, p2 = _compact_round(k, p, L)
+        return (k2, p2, i + 1)
+
+    skey, pt, _ = jax.lax.while_loop(cond, body, (skey, pt, jnp.int32(0)))
     return skey, pt
 
 
@@ -526,7 +537,10 @@ def msm_pippenger_multi(points, scalars_batch, c: int | None = None):
     wg = _pick_window_group(m, S * (256 // c))
     pts_lm = lp.to_lm(points)
     if pallas_points_available():
-        out = _msm_multi_staged(pts_lm, scalars_batch, S, c, wg)
+        # ONE program: the axon compile service bills ~19 s per program and
+        # caches nothing across processes, so a monolithic jit (~250 s cold,
+        # sites amortized) beats staged per-stage programs (measured 767 s)
+        out = _msm_multi_impl(pts_lm, scalars_batch, S, c, wg)
     else:
         out = _msm_multi_impl.__wrapped__(pts_lm, scalars_batch, S, c, wg)
     return tuple(jnp.swapaxes(v, 0, 1) for v in out)
@@ -547,9 +561,13 @@ def msm_pippenger(points, scalars, c: int | None = None):
     pts_lm = lp.to_lm(points)
     wg = _pick_window_group(n, 256 // c)
     if pallas_points_available():
-        # staged per-shape programs: the monolithic jit costs 250+ s of
-        # remote compile per (n, c) and the axon service caches nothing
-        return _msm_staged(pts_lm, scalars, c, wg)
+        # one monolithic program per (n, c): the axon compile service bills
+        # ~19 s per program and caches nothing across processes, so a single
+        # jit (~250 s cold, Pallas sites amortized) beats staged per-stage
+        # programs (measured 767 s cold for the same MSM). The fixed-round
+        # while_loop inside gives the data-adaptive round count with no
+        # extra programs.
+        return _msm_impl(pts_lm, scalars, c, wg)
     # CPU/test path: run eagerly so each point-op width compiles once (via
     # the jitted loop-CIOS fallbacks) instead of inlining ~12 call sites
     # into one giant XLA program
