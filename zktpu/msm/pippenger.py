@@ -61,6 +61,8 @@ FQ_CTX = dc.FQ_CTX
 
 _MAXKEY = jnp.int32(2**30)
 _U32 = jnp.uint32
+#: bucket-tree widths at or below this use the single masked-fori site
+_TREE_DIRECT = 4096
 
 
 def pick_window_bits(n: int) -> int:
@@ -345,18 +347,45 @@ def _pair_step(vals):
 def _weighted_bucket_reduce(buckets):
     """(24, W, NBUCK) bucket table -> (24, W) per-window sums sum_k k*B_k.
 
-    Kogge-Stone suffix sums T_j = sum_{k>=j} B_k (log2(K) full-width adds at
-    ONE kernel width), then sum_{j>=1} T_j via a halving pairwise tree;
-    bucket 0 is dropped.
+    Kogge-Stone suffix sums T_j = sum_{k>=j} B_k, then sum_{j>=1} T_j by a
+    fixed-width halving tree; bucket 0 is dropped. Both loops run as
+    ``fori_loop`` with DYNAMIC shifts (roll + infinity masking) so each
+    contributes ONE Pallas add site to the program instead of log2(K) --
+    program count is what the axon remote-compile service bills for.
     """
     vals = tuple(v[:, :, 1:] for v in buckets)  # k = 1 .. NBUCK-1
     K = vals[0].shape[2]
-    d = 1
-    while d < K:
-        vals = _ks_step(vals, d)
-        d *= 2
-    while vals[0].shape[2] > 1:
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
+    ks_steps = max(1, (K - 1).bit_length())
+
+    def ks_body(i, vals):
+        d = jnp.left_shift(jnp.int32(1), i)
+        x, y, z = (jnp.roll(v, -d, axis=2) for v in vals)
+        z = jnp.where(idx + d < K, z, 0)  # rolled-past lanes -> infinity
+        return _flat_add(vals, (x, y, z))
+
+    vals = jax.lax.fori_loop(0, ks_steps, ks_body, vals)
+
+    # sum_j T_j: REAL halving levels while wide (each slice halves the add
+    # width -- O(K) total work), then one masked fixed-width fori for the
+    # narrow tail (lanes >= stride hold garbage no smaller-stride pair ever
+    # reads; lane 0 is the sum). Keeps the level count off the program's
+    # Pallas-site bill without paying full-width adds at 2^15 buckets.
+    while vals[0].shape[2] > _TREE_DIRECT:
         vals = _pair_step(vals)
+    K2 = vals[0].shape[2]
+    if K2 > 1:
+        idx2 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K2), 2)
+        tree_steps = (K2 - 1).bit_length()
+        kp = 1 << tree_steps  # K2 rounded up to a power of two
+
+        def tree_body(i, vals):
+            s = jnp.right_shift(jnp.int32(kp), i + 1)
+            x, y, z = (jnp.roll(v, -s, axis=2) for v in vals)
+            z = jnp.where(idx2 + s < K2, z, 0)
+            return _flat_add(vals, (x, y, z))
+
+        vals = jax.lax.fori_loop(0, tree_steps, tree_body, vals)
     return tuple(v[:, :, 0] for v in vals)
 
 
