@@ -280,16 +280,13 @@ def prove(circuit: Circuit, inputs: list[int], taus: list[int] | None = None,
         taus = random_taus(input_poly.num_vars)
     kzg_instance = KZG.for_poly(input_poly, taus)
     mark("KZG setup (SRS comb + g2 taus)")
-    commitment = kzg_instance.commit(input_poly)
-    mark("KZG commit MSM")
-
     w_b_eval = kzg_instance.open(current_rb, input_poly)
     w_c_eval = kzg_instance.open(current_rc, input_poly)
     mark("KZG opens")
-    w_b_proof, w_c_proof = kzg_instance.get_proof_pair(
+    commitment, w_b_proof, w_c_proof = kzg_instance.commit_with_proof_pair(
         (w_b_eval, current_rb), (w_c_eval, current_rc), input_poly
     )
-    mark("KZG proofs at r_b/r_c (batched MSM)")
+    mark("KZG commit + proofs (batched MSMs)")
 
     input_proof = KzgProof(
         kzg_setup=kzg_instance,

@@ -71,3 +71,71 @@ def msm_bitsplit_host(affine_points, scalar_ints):
     sc = dc.pack_scalars(scalar_ints)
     out = msm_bitsplit(pts, sc)
     return dc.unpack_points(tuple(t[None] for t in out))[0]
+
+
+def _tree_sum_px(pt):
+    """Log-depth pairwise reduction over the LAST axis of limb-major
+    (24, ..., m) triples via the Pallas point kernel."""
+    from ..curve.pallas_point import point_add_px
+
+    X, Y, Z = pt
+    while X.shape[-1] > 1:
+        m = X.shape[-1]
+        half = m // 2
+        odd = m - 2 * half
+        lead = X.shape[:-1]
+        flat = lambda v: v.reshape(v.shape[0], -1)
+        lo = tuple(flat(v[..., :half]) for v in (X, Y, Z))
+        hi = tuple(flat(v[..., half: 2 * half]) for v in (X, Y, Z))
+        red = tuple(
+            v.reshape(*lead, half) for v in point_add_px(lo, hi)
+        )
+        if odd:
+            red = tuple(
+                jnp.concatenate([r, t[..., 2 * half:]], axis=-1)
+                for r, t in zip(red, (X, Y, Z))
+            )
+        X, Y, Z = red
+    return (X, Y, Z)
+
+
+@jax.jit
+def msm_bitsplit_multi_px(points_lm, scalars_batch):
+    """S same-size MSMs of one shared base as a bit-split ladder on the
+    Pallas point kernels: ~log2(m) add sites in ONE fori program, so the
+    cold remote-compile cost stays far below the windowed Pippenger
+    monolith (~250 s) -- the right trade at small S*m, where the ladder's
+    255 * S * m tree adds are cheap anyway (KZG get_proof at 2^12 scale).
+
+    ``points_lm``: limb-major (24, m) triple (one shared base) or
+    (24, S, m) triple (per-segment bases); ``scalars_batch``: canonical
+    (S, m, 16) Fr limbs -> limb-major (24, S) Jacobian triple.
+    """
+    from ..curve.pallas_point import point_add_px, point_double_px
+    from ..curve import lm_point as lp
+    from ..curve.device import FQ_CTX
+
+    S, m = scalars_batch.shape[:2]
+    if points_lm[0].ndim == 2:
+        Xb, Yb, Zb = (jnp.broadcast_to(v[:, None, :], (v.shape[0], S, m))
+                      for v in points_lm)
+    else:
+        Xb, Yb, Zb = points_lm
+
+    def body(i, acc):
+        bit_index = SCALAR_BITS - 1 - i
+        limb = bit_index // LIMB_BITS
+        pos = bit_index % LIMB_BITS
+        bit = (
+            jax.lax.dynamic_index_in_dim(scalars_batch, limb, axis=-1,
+                                         keepdims=False)
+            >> pos
+        ) & 1  # (S, m)
+        masked = (Xb, Yb, jnp.where(bit.astype(bool)[None], Zb, 0))
+        t = _tree_sum_px(masked)
+        t = tuple(v[..., 0] for v in t)  # (24, S)
+        acc = point_double_px(acc)
+        return point_add_px(acc, t)
+
+    acc0 = lp.infinity_lm(FQ_CTX, S)
+    return jax.lax.fori_loop(0, SCALAR_BITS, body, acc0)

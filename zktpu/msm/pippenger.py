@@ -63,6 +63,9 @@ _MAXKEY = jnp.int32(2**30)
 _U32 = jnp.uint32
 #: bucket-tree widths at or below this use the single masked-fori site
 _TREE_DIRECT = 4096
+#: batched MSMs with S*m at or below this run as a bit-split ladder (cheap
+#: cold compile) instead of the windowed Pippenger monolith
+MULTI_LADDER_MAX = 1 << 17
 
 
 def pick_window_bits(n: int) -> int:
@@ -566,10 +569,20 @@ def msm_pippenger_multi(points, scalars_batch, c: int | None = None):
     wg = _pick_window_group(m, S * (256 // c))
     pts_lm = lp.to_lm(points)
     if pallas_points_available():
-        # ONE program: the axon compile service bills ~19 s per program and
-        # caches nothing across processes, so a monolithic jit (~250 s cold,
-        # sites amortized) beats staged per-stage programs (measured 767 s)
-        out = _msm_multi_impl(pts_lm, scalars_batch, S, c, wg)
+        if S * m <= MULTI_LADDER_MAX:
+            # small batched MSMs are compile-bound, not work-bound: the
+            # bit-split ladder is ONE ~log2(m)-site program (cold compile
+            # far under the ~250 s Pippenger monolith) and its 255*S*m tree
+            # adds cost ~1-2 s at this scale
+            from .bit_split import msm_bitsplit_multi_px
+
+            out = msm_bitsplit_multi_px(pts_lm, scalars_batch)
+        else:
+            # ONE program: the axon compile service bills ~19 s per program
+            # and caches nothing across processes, so a monolithic jit
+            # (~250 s cold, sites amortized) beats staged per-stage
+            # programs (measured 767 s)
+            out = _msm_multi_impl(pts_lm, scalars_batch, S, c, wg)
     else:
         out = _msm_multi_impl.__wrapped__(pts_lm, scalars_batch, S, c, wg)
     return tuple(jnp.swapaxes(v, 0, 1) for v in out)

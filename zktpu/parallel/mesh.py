@@ -342,9 +342,13 @@ def msm_pippenger_sharded(mesh: Mesh, points, scalars, c: int | None = None):
         mesh=mesh,
         in_specs=((P(AXIS, None),) * 3, P(AXIS, None)),
         # each device emits its LOCAL partial point; the cross-chip tree-sum
-        # runs outside the shard_map (GSPMD inserts the gather), so the
-        # varying-axis checker stays on for the whole local pipeline
+        # runs outside the shard_map (GSPMD inserts the gather). check_vma
+        # must stay off in this JAX version: pallas_call outputs carry no
+        # vma type (TPU path) and the adaptive while_loop's carry fails vma
+        # inference (CPU path) -- both are checker limitations, not sharding
+        # bugs; the tree-sum reduction itself now runs under a checked jit.
         out_specs=P(AXIS, None),
+        check_vma=False,
     )
     def run(pts, sc):
         from ..curve import lm_point as lp
@@ -393,6 +397,9 @@ def msm_pippenger_multi_sharded(mesh: Mesh, points, scalars_batch):
         mesh=mesh,
         in_specs=((P(None, None),) * 3, P(AXIS, None, None)),
         out_specs=(P(AXIS, None),) * 3,
+        # see msm_pippenger_sharded: checker limitations around pallas_call
+        # outputs and while_loop carries in this JAX version
+        check_vma=False,
     )
     def run(pts, sc):
         out = pp._msm_multi_impl.__wrapped__(lp.to_lm(pts), sc, s_loc, c, wg)

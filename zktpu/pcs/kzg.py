@@ -219,6 +219,74 @@ class KZG:
         both = self._commit_quotients(jnp.concatenate([qb, qc], axis=0))
         return both[: len(pts_b)], both[len(pts_b):]
 
+    def commit_with_proof_pair(self, openings_b, openings_c,
+                               poly: MultilinearPoly,
+                               _force_batched: bool | None = None):
+        """(commitment, proofs_b, proofs_c) -- at small scale ALL the MSMs
+        of a GKR input proof run in ONE ladder program: the commitment
+        splits into two half-size segments against the basis halves
+        (MSM(t, L) = MSM(t[:h], L[:h]) + MSM(t[h:], L[h:])) and rides the
+        same batch as the 2n quotient segments. One cold remote-compile
+        instead of three (the compile, not the group ops, dominates a cold
+        GKR prove -- BENCH_NOTES round 5)."""
+        from ..curve import lm_point as lp
+        from ..curve.pallas_point import (
+            pallas_points_available, point_add_px,
+        )
+        from ..msm.pippenger import MULTI_LADDER_MAX
+        from ..msm.bit_split import msm_bitsplit_multi_px
+        from ..parallel import context as pctx
+
+        ctx = poly.ctx
+        full = poly.table.shape[0]
+        half = max(full // 2, 1)
+        (val_b, pts_b), (val_c, pts_c) = openings_b, openings_c
+        qb = self._quotients(val_b, pts_b, poly)
+        qc = self._quotients(val_c, pts_c, poly)
+        nb = qb.shape[0]
+        S_total = 2 + qb.shape[0] + qc.shape[0]
+        batched = _force_batched
+        if batched is None:
+            batched = (
+                pallas_points_available()
+                and full >= 4
+                and pctx.current_mesh() is None
+                and S_total * half <= MULTI_LADDER_MAX
+            )
+        if not batched:
+            commitment = self.commit(poly)
+            both = self._commit_quotients(jnp.concatenate([qb, qc], axis=0))
+            return commitment, both[:nb], both[nb:]
+
+        scalars = fb.from_mont(
+            ctx,
+            jnp.concatenate(
+                [poly.table.reshape(2, half, ctx.num_limbs), qb, qc], axis=0
+            ),
+        )
+        base_full = lp.to_lm(self.g1_lagrange_basis)   # (24, full)
+        base_halves = tuple(v.reshape(-1, 2, half) for v in base_full)
+        base_q = lp.to_lm(self.collapsed_bases(upto=1)[0])  # (24, half)
+        bases = tuple(
+            jnp.concatenate(
+                [bh, jnp.broadcast_to(bq[:, None, :],
+                                      (bq.shape[0], S_total - 2, half))],
+                axis=1,
+            )
+            for bh, bq in zip(base_halves, base_q)
+        )
+        out = msm_bitsplit_multi_px(bases, scalars)   # (24, S_total)
+        c_pt = point_add_px(
+            tuple(v[:, 0:1] for v in out), tuple(v[:, 1:2] for v in out)
+        )
+        commitment = dc.unpack_points(
+            tuple(jnp.swapaxes(v, 0, 1) for v in c_pt)
+        )[0]
+        rest = dc.unpack_points(
+            tuple(jnp.swapaxes(v[:, 2:], 0, 1) for v in out)
+        )
+        return commitment, rest[:nb], rest[nb:]
+
     @staticmethod
     def verify(
         commitment,
