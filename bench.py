@@ -50,7 +50,7 @@ FULL = os.environ.get("ZKTPU_BENCH_FULL") == "1"  # 2^18 GKR stretch
 #: primary JSON line prints right after the sumcheck section, and every
 #: secondary section first checks it still fits the remaining budget.
 T_START = time.time()
-BUDGET = float(os.environ.get("ZKTPU_BENCH_BUDGET", "500"))
+BUDGET = float(os.environ.get("ZKTPU_BENCH_BUDGET", "520"))
 
 RESULTS: dict[str, str] = {}
 
@@ -319,19 +319,22 @@ def main() -> None:
         flush=True,
     )
 
-    # secondaries, flagship first, each under the wall-clock budget
-    section("gkr 2^12", 120, bench_gkr, 12 if tpu else 6)
-    section("ntt 2^20", 60, bench_ntt, 20)
+    # secondaries in VERDICT priority order, each gated on the remaining
+    # wall-clock budget. Need estimates are MEASURED cold times on v5e
+    # (BENCH_NOTES round 5); the axon compile service caches nothing across
+    # processes, so every driver run pays them fresh.
+    section("gkr 2^12", 420, bench_gkr, 12 if tpu else 6)
+    section("ntt 2^20", 45, bench_ntt, 20)
     if tpu:
-        section("ntt 2^22", 60, bench_ntt, 22)
-    section("fold", 40, bench_fold_throughput, 20)
-    section("msm 2^16", 100, bench_msm, 16 if tpu else 10)
+        section("ntt 2^22", 90, bench_ntt, 22)
+    section("fold", 15, bench_fold_throughput, 20)
+    section("micro", 10, bench_micro)
+    section("msm 2^16", 170, bench_msm, 16 if tpu else 10)
     if tpu:
-        section("msm 2^20", 120, bench_msm, 20)
-        section("gkr 2^16", 150, bench_gkr, 16)
+        section("msm 2^20", 260, bench_msm, 20)
+        section("gkr 2^16", 420, bench_gkr, 16)
         if FULL:
-            section("gkr 2^18", 300, bench_gkr, 18)
-    section("micro", 30, bench_micro)
+            section("gkr 2^18", 600, bench_gkr, 18)
 
     log("  summary: " + " ".join(f"{k}={v}" for k, v in sorted(RESULTS.items())))
 

@@ -73,13 +73,22 @@ def msm_bitsplit_host(affine_points, scalar_ints):
     return dc.unpack_points(tuple(t[None] for t in out))[0]
 
 
+#: below this LAST-axis width the tree switches to one masked-fori site
+_TREE_PX_DIRECT = 64
+
+
 def _tree_sum_px(pt):
     """Log-depth pairwise reduction over the LAST axis of limb-major
-    (24, ..., m) triples via the Pallas point kernel."""
+    (24, ..., m) triples via the Pallas point kernel.
+
+    Real halving slices while wide (bulk of the work at full lane
+    efficiency), then ONE masked-roll fori site for the narrow tail --
+    every Pallas site costs ~15 s of remote compile, so the level count
+    must stay off the program's site bill."""
     from ..curve.pallas_point import point_add_px
 
     X, Y, Z = pt
-    while X.shape[-1] > 1:
+    while X.shape[-1] > _TREE_PX_DIRECT:
         m = X.shape[-1]
         half = m // 2
         odd = m - 2 * half
@@ -96,6 +105,32 @@ def _tree_sum_px(pt):
                 for r, t in zip(red, (X, Y, Z))
             )
         X, Y, Z = red
+    m = X.shape[-1]
+    if m > 1:
+        from ..curve.pallas_point import point_add_px as _add
+
+        lead = X.shape[:-1]
+        idx = jax.lax.broadcasted_iota(
+            jnp.int32, (1,) * len(X.shape[:-1]) + (m,), X.ndim - 1
+        )
+        kp = 1 << (m - 1).bit_length()
+
+        def body(i, pt3):
+            x, y, z = pt3
+            s = jnp.right_shift(jnp.int32(kp), i + 1)
+            xs, ys, zs = (jnp.roll(v, -s, axis=-1) for v in (x, y, z))
+            zs = jnp.where(idx + s < m, zs, 0)
+            flat = lambda v: v.reshape(v.shape[0], -1)
+            out = _add(
+                tuple(flat(v) for v in (x, y, z)),
+                tuple(flat(v) for v in (xs, ys, zs)),
+            )
+            return tuple(v.reshape(*lead, m) for v in out)
+
+        X, Y, Z = jax.lax.fori_loop(
+            0, (m - 1).bit_length(), body, (X, Y, Z)
+        )
+        X, Y, Z = X[..., :1], Y[..., :1], Z[..., :1]
     return (X, Y, Z)
 
 
