@@ -86,6 +86,26 @@ def pick_window_bits(n: int) -> int:
     return best
 
 
+def pick_window_bits_multi(S: int, m: int) -> int:
+    """Window width for an S-segment batched MSM of m points each.
+
+    Unlike the single-MSM picker, the reduction terms AND the dense bucket
+    table scale with S*W: at S=32, m=2^15, c=16 the (24, S*W, NBUCK) table
+    would be 64 GB -- a guaranteed HBM OOM (observed as a TPU kernel fault).
+    Windows whose bucket table exceeds ~2 GB are excluded outright."""
+    best, best_cost = 4, None
+    for c in (4, 8, 16):
+        w = 256 // c
+        k = 1 << (c - 1)
+        if S * w * (k + 1) * 96 > 2e9:
+            continue
+        cost = (2.2 * w * S * m + 2 * S * w * k
+                + S * w * k * max(1, math.ceil(math.log2(k))) + 2 * S * w * k)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = c, cost
+    return best
+
+
 def _recode_signed(scalars, c: int):
     """Canonical (n, 16) Fr limbs -> (W, n) |digit| uint32 + (W, n) sign bool.
 
@@ -565,7 +585,7 @@ def msm_pippenger_multi(points, scalars_batch, c: int | None = None):
 
     S, m = scalars_batch.shape[:2]
     if c is None:
-        c = pick_window_bits(S * m)
+        c = pick_window_bits_multi(S, m)
     wg = _pick_window_group(m, S * (256 // c))
     pts_lm = lp.to_lm(points)
     if pallas_points_available():

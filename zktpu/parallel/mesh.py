@@ -389,7 +389,7 @@ def msm_pippenger_multi_sharded(mesh: Mesh, points, scalars_batch):
                                       scalars_batch.dtype)], axis=0
         )
     s_loc = (S + pad) // d
-    c = pp.pick_window_bits(s_loc * m)
+    c = pp.pick_window_bits_multi(s_loc, m)
     wg = pp._pick_window_group(m, s_loc * (256 // c))
 
     @partial(
