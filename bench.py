@@ -228,13 +228,14 @@ def bench_gkr(input_log: int = 12):
     t0 = time.time()
     proof = gkr.prove(circuit, inputs, taus=taus)
     t_prove = time.time() - t0
+    log(f"  GKR 2^{input_log}-input ({total_gates} gates) prove: {t_prove:.2f}s"
+        f"  (reference: infeasible beyond toy sizes)")
+    RESULTS[f"gkr_2^{input_log}_prove_s"] = f"{t_prove:.2f}"
     t0 = time.time()
     ok = gkr.verify(proof, circuit)
     t_verify = time.time() - t0
     assert ok, "GKR round-trip failed"
-    log(f"  GKR 2^{input_log}-input ({total_gates} gates) prove: {t_prove:.2f}s"
-        f"  verify: {t_verify:.2f}s  (reference: infeasible beyond toy sizes)")
-    RESULTS[f"gkr_2^{input_log}_prove_s"] = f"{t_prove:.2f}"
+    log(f"  GKR 2^{input_log} verify: {t_verify:.2f}s ok={ok}")
     RESULTS[f"gkr_2^{input_log}_verify_s"] = f"{t_verify:.2f}"
     return t_prove, t_verify
 
