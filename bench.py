@@ -332,7 +332,7 @@ def main() -> None:
     section("micro", 10, bench_micro)
     section("msm 2^16", 170, bench_msm, 16 if tpu else 10)
     if tpu:
-        section("msm 2^20", 260, bench_msm, 20)
+        section("msm 2^20", 210, bench_msm, 20)
         section("gkr 2^16", 820, bench_gkr, 16)
         if FULL:
             section("gkr 2^18", 600, bench_gkr, 18)

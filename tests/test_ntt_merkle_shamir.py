@@ -192,3 +192,32 @@ def test_ntt_lm_matches_dense():
             dense = np.asarray(_ntt_kernel(ctx, table, logn, inv))
             got = np.asarray(nl.ntt_lm(ctx, table, inv))
             assert (dense == got).all(), (logn, inv)
+
+
+def test_ntt_pallas_matches_dense_interpret():
+    """The fused single-program Pallas NTT (zktpu/ntt/pallas_ntt.py) must be
+    bit-identical to the dense XLA ladder -- exercised here in interpret
+    mode at the smallest size the two-phase schedule accepts (4 * TILE),
+    forward and inverse."""
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest
+
+    mp = pytest.MonkeyPatch()
+    mp.setenv("ZKTPU_PALLAS_INTERPRET", "1")
+    try:
+        from zktpu.ntt import pallas_ntt as pn
+        from zktpu.ntt.ntt import _ntt_kernel
+
+        ctx = fb.get_ctx(BN254_FR)
+        logn = 12
+        assert pn.ntt_pallas_available(1 << logn)
+        rng = np.random.default_rng(37)
+        vals = [int(v) for v in rng.integers(0, 1 << 40, size=1 << logn)]
+        table = fb.to_mont(ctx, jnp.asarray(ctx.pack(vals)))
+        for inv in (False, True):
+            dense = np.asarray(_ntt_kernel(ctx, table, logn, inv))
+            got = np.asarray(pn.ntt_pallas(ctx, table, inv))
+            assert (dense == got).all(), inv
+    finally:
+        mp.undo()

@@ -226,6 +226,22 @@ def _device_tw(key, host_arr):
     return arr
 
 
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def _ntt_pallas_prog(ctx: FieldCtx, x, perm, tw1, tw2s, log_tile: int):
+    """Whole transform as ONE program: bitrev gather + phase-1 tile kernel
+    + every phase-2 stage. The stages were previously separate dispatches;
+    over the axon tunnel each launch costs ~4 ms of command latency (trace:
+    45 ms device vs 103 ms wall at 2^20), so an 11-launch transform paid
+    ~40 ms of pure dispatch. Pallas calls are opaque custom-calls -- the
+    cross-stage mega-fusion pathology of the XLA ladder cannot occur."""
+    tile = 1 << log_tile
+    x = jnp.take(x, perm, axis=0)
+    x = _phase1_kernel(ctx, x, tw1, log_tile)
+    for i, tw in enumerate(tw2s):
+        x = _phase2_stage(ctx, x, tw, log_tile + 1 + i, tile)
+    return x
+
+
 def ntt_pallas(ctx: FieldCtx, table, inverse: bool = False, tile: int = TILE):
     """Drop-in NTT over a (2^k, N) Montgomery table; values identical to
     ``zktpu.ntt.ntt.ntt`` (without the final iNTT 1/n scale)."""
@@ -234,16 +250,16 @@ def ntt_pallas(ctx: FieldCtx, table, inverse: bool = False, tile: int = TILE):
     size = table.shape[0]
     log_n = size.bit_length() - 1
     log_tile = tile.bit_length() - 1
-    x = jnp.take(table, jnp.asarray(_bitrev_perm(log_n)), axis=0)
+    perm = _device_tw(("bitrev", log_n), _bitrev_perm(log_n))
     tw1 = _device_tw(
         (ctx, log_n, inverse, 0, tile),
         _phase1_twiddles(ctx, log_n, inverse, log_tile),
     )
-    x = _phase1_kernel(ctx, x, tw1, log_tile)
-    for s in range(log_tile + 1, log_n + 1):
-        tw = _device_tw(
+    tw2s = tuple(
+        _device_tw(
             (ctx, log_n, inverse, s, tile),
             _phase2_twiddles(ctx, log_n, inverse, s, tile),
         )
-        x = _phase2_stage(ctx, x, tw, s, tile)
-    return x
+        for s in range(log_tile + 1, log_n + 1)
+    )
+    return _ntt_pallas_prog(ctx, table, perm, tw1, tw2s, log_tile)
