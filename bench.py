@@ -327,7 +327,7 @@ def main() -> None:
     section("gkr 2^12", 420, bench_gkr, 12 if tpu else 6)
     section("ntt 2^20", 45, bench_ntt, 20)
     if tpu:
-        section("ntt 2^22", 90, bench_ntt, 22)
+        section("ntt 2^22", 60, bench_ntt, 22)
     section("fold", 15, bench_fold_throughput, 20)
     section("micro", 10, bench_micro)
     section("msm 2^16", 170, bench_msm, 16 if tpu else 10)
