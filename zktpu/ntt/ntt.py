@@ -86,10 +86,11 @@ _LM_MIN = 1 << 14
 def select_engine(n: int) -> str:
     """Engine for an n-point transform: 'pallas' | 'lm' | 'xla'.
 
-    Measured on v5e (BENCH_NOTES.md round 5): pallas 101 ms / lm 379 ms /
-    xla 400 ms at 2^20 -- the two-phase Pallas schedule wins wherever it
-    applies; the limb-major four-step engine covers large tables when it
-    does not (non-TPU backends, off-tile sizes)."""
+    Measured on v5e (BENCH_NOTES.md round 5): pallas 71.6 ms (fused single
+    program) / lm 379 ms / xla 400 ms at 2^20 -- the two-phase Pallas
+    schedule wins wherever it applies; the limb-major four-step engine
+    covers large tables when it does not (non-TPU backends, off-tile
+    sizes)."""
     import os
 
     forced = os.environ.get("ZKTPU_NTT_ENGINE", "auto")
